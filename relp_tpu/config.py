@@ -1,0 +1,107 @@
+"""Solver configuration.
+
+The reference configures everything at compile time through generics (number
+type x basis inverse x provider x pivot rule, reference: src/lib.rs:7-11) and
+hard-codes two tunables (refactorization threshold 30,
+lower_upper/mod.rs:249-252; presolve no-progress budget,
+general_form/mod.rs:391-400).  Here those become a real runtime config.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+def _enable_x64() -> None:
+    """Enable 64-bit floats in JAX (needed for numerically robust simplex)."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Runtime configuration of the simplex engine.
+
+    Tolerances follow standard floating-point simplex practice; the reference
+    needs none of them (exact rationals), so these are new design surface.
+    """
+
+    # dtype used on device: "float64" (default, robust) or "float32".
+    dtype: str = "float64"
+
+    # Pricing rule: "dantzig" | "steepest" | "first" | "first_memory"
+    # (reference: strategy/pivot_rule.rs: SteepestDescentAlongVariable,
+    # SteepestDescentAlongObjective, FirstProfitable, FirstProfitableWithMemory).
+    pricing: str = "steepest"
+
+    # Optimality tolerance on reduced costs.
+    opt_tol: float = 1e-9
+    # Pivot-element tolerance in the ratio test.
+    pivot_tol: float = 1e-9
+    # Feasibility tolerance on basic values.
+    feas_tol: float = 1e-9
+    # Phase-1 objective considered zero below this.
+    phase1_tol: float = 1e-8
+    # Treat |x| below this as zero when reading solutions off the device.
+    zero_tol: float = 1e-11
+
+    # Refactorize the basis inverse every this many pivots
+    # (reference hard-codes 30, lower_upper/mod.rs:251).
+    refactor_period: int = 60
+
+    # How many simplex iterations to run per jitted device chunk before the
+    # host checks status.  Must be <= refactor_period.
+    chunk_size: int = 60
+
+    # Iteration budget (0 = no limit beyond a very large default).
+    max_iterations: int = 200_000
+
+    # Fall back to Bland's rule after this many consecutive degenerate pivots
+    # (anti-cycling; reference relies on exact Bland tie-breaks,
+    # tableau/mod.rs:294-309).
+    bland_threshold: int = 300
+
+    # Pad device array dimensions up to a multiple of this (TPU lane width).
+    pad_to: int = 128
+
+    # Run the exact rational certification pass after solving.
+    certify: bool = True
+    # If certification finds exact negative reduced costs, run exact cleanup
+    # pivots host-side until exactly optimal.
+    exact_cleanup: bool = True
+    # Maximum number of exact cleanup pivots before giving up.
+    exact_cleanup_budget: int = 2_000
+
+    # Presolve on/off (reference: general_form/mod.rs:351-375).
+    presolve: bool = True
+    # Prescale on/off (reference: presolve/scale; opt-in there too).
+    prescale: bool = False
+
+    # Device platform override (None = let JAX choose).
+    platform: Optional[str] = None
+
+    def __post_init__(self) -> None:
+        if self.dtype not in ("float32", "float64"):
+            raise ValueError(f"unsupported dtype {self.dtype!r}")
+        if self.pricing not in ("dantzig", "steepest", "first", "first_memory"):
+            raise ValueError(f"unsupported pricing rule {self.pricing!r}")
+        if self.dtype == "float64":
+            _enable_x64()
+        if self.chunk_size > self.refactor_period:
+            self.chunk_size = self.refactor_period
+
+
+_DEFAULT: Optional[SolverConfig] = None
+
+
+def default_config() -> SolverConfig:
+    """The process-wide default configuration."""
+    global _DEFAULT
+    if _DEFAULT is None:
+        _DEFAULT = SolverConfig(
+            dtype=os.environ.get("RELP_TPU_DTYPE", "float64"),
+        )
+    return _DEFAULT

@@ -1,0 +1,158 @@
+"""Exact certification and repair of a candidate optimal basis.
+
+Given the basis the float TPU solver found, this module re-derives the exact
+basic solution and duals (Dixon solves), checks primal feasibility and exact
+nonnegative reduced costs — the same invariants the reference asserts in
+``debug_assert_in_basic_feasible_solution_state`` (tableau/mod.rs:319-357) —
+and, when the float basis is *not* exactly optimal, finishes the solve with
+exact simplex pivots (Bland's rule, guaranteed to terminate).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from typing import List, Optional, Sequence, Tuple
+
+from relp_tpu.config import SolverConfig
+from relp_tpu.linalg.sparse import SparseVector
+from relp_tpu.providers.base import MatrixProvider
+from relp_tpu.exact.dixon import (
+    ExactSingularError,
+    exact_solve,
+    exact_solve_transpose,
+)
+
+
+def _basis_columns(provider: MatrixProvider, basis: Sequence[int]):
+    return [provider.column(j).entries() for j in basis]
+
+
+def certify_basis(
+    provider: MatrixProvider, basis: Sequence[int]
+) -> Tuple[List[Fraction], List[Fraction], Optional[int], Optional[int]]:
+    """Exact x_B, duals y, index of an infeasible row (or None), and an
+    entering column with exactly negative reduced cost (or None)."""
+    columns = _basis_columns(provider, basis)
+    b = provider.right_hand_side()
+    x = exact_solve(columns, b)
+
+    infeasible_row: Optional[int] = None
+    for i, v in enumerate(x):
+        if v < 0:
+            infeasible_row = i
+            break
+
+    cB = [provider.cost_value(j) for j in basis]
+    y = exact_solve_transpose(columns, cB)
+
+    entering: Optional[int] = None
+    in_basis = set(basis)
+    for j in range(provider.nr_columns()):
+        if j in in_basis:
+            continue
+        d = provider.cost_value(j)
+        for i, v in provider.column(j).iter_entries():
+            d -= y[i] * v
+        if d < 0:
+            entering = j
+            break
+    return x, y, infeasible_row, entering
+
+
+def _exact_ratio_test(
+    provider: MatrixProvider,
+    basis: List[int],
+    x: List[Fraction],
+    q: int,
+) -> Optional[int]:
+    """Exact min-ratio row with Bland tie-break on the leaving column index
+    (reference: select_primal_pivot_row, tableau/mod.rs:287-313)."""
+    columns = _basis_columns(provider, basis)
+    a_q = provider.column(q).entries()
+    rhs = [Fraction(0)] * len(basis)
+    for i, v in a_q:
+        rhs[i] = v
+    w = exact_solve(columns, rhs)
+
+    best: Optional[Tuple[Fraction, int, int]] = None  # (ratio, basis col, row)
+    for i, wi in enumerate(w):
+        if wi > 0:
+            ratio = x[i] / wi
+            key = (ratio, basis[i])
+            if best is None or key < (best[0], best[1]):
+                best = (ratio, basis[i], i)
+    return None if best is None else best[2]
+
+
+def exact_cleanup(
+    provider: MatrixProvider,
+    basis: List[int],
+    cfg: SolverConfig,
+) -> Tuple[List[int], List[Fraction], List[Fraction], int, bool]:
+    """Run exact simplex pivots until exactly optimal (or budget runs out).
+
+    Returns (basis, x, y, pivots_used, optimal).
+    """
+    pivots = 0
+    while True:
+        x, y, infeasible_row, entering = certify_basis(provider, basis)
+        if infeasible_row is not None:
+            # The float solver returned an exactly-infeasible basis; exact
+            # primal pivoting can't repair that from here.
+            return basis, x, y, pivots, False
+        if entering is None:
+            return basis, x, y, pivots, True
+        if pivots >= cfg.exact_cleanup_budget:
+            return basis, x, y, pivots, False
+        r = _exact_ratio_test(provider, basis, x, entering)
+        if r is None:
+            # Exactly unbounded — caller decides.
+            return basis, x, y, pivots, False
+        basis[r] = entering
+        pivots += 1
+
+
+def certify_and_repair(
+    result,
+    provider: MatrixProvider,
+    basis: List[int],
+    cfg: SolverConfig,
+) -> None:
+    """Certify ``result`` in place; repair with exact pivots if needed."""
+    basis = list(basis)
+    try:
+        x, y, infeasible_row, entering = certify_basis(provider, basis)
+        optimal = infeasible_row is None and entering is None
+        if not optimal and cfg.exact_cleanup and infeasible_row is None:
+            basis, x, y, pivots, optimal = exact_cleanup(provider, basis, cfg)
+            result.stats.exact_cleanup_pivots = pivots
+    except ExactSingularError:
+        result.stats.certified = False
+        _fallback_float_bfs(result, provider)
+        return
+
+    if not optimal:
+        result.stats.certified = False
+        _fallback_float_bfs(result, provider)
+        return
+
+    n = provider.nr_columns()
+    entries = [
+        (j, x[i]) for i, j in enumerate(basis) if j < n and x[i] != 0
+    ]
+    result.exact_bfs = SparseVector(entries, n)
+    objective = Fraction(0)
+    for i, j in enumerate(basis):
+        objective += provider.cost_value(j) * x[i]
+    result.exact_objective = objective
+    result.basis = basis
+    result.bfs = result.exact_bfs
+    result.objective = float(objective)
+    result.stats.certified = True
+
+
+def _fallback_float_bfs(result, provider: MatrixProvider) -> None:
+    entries = getattr(result, "float_entries", [])
+    result.bfs = SparseVector(
+        [(j, Fraction(float(v))) for j, v in entries], provider.nr_columns()
+    )

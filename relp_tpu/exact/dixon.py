@@ -1,0 +1,216 @@
+"""Exact rational linear solves via Dixon p-adic lifting.
+
+Solves ``B x = b`` exactly for sparse rational B:
+
+1. clear denominators (per column and for b) to get an integer system,
+2. invert the matrix mod a word-size prime with vectorized numpy
+   Gauss-Jordan elimination,
+3. lift a p-adic expansion of the solution digit by digit (each digit is one
+   mod-p matvec + one exact sparse integer matvec),
+4. rationally reconstruct the entries, sharing the discovered common
+   denominator across entries,
+5. verify ``B x = b`` exactly (guards the lifting-bound estimate).
+
+This replaces the reference's relp-num arbitrary-precision arithmetic for the
+certification path; asymptotically it is O(m^3) word ops + O(m * bits^2)
+reconstruction, far faster than fraction Gaussian elimination.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+Entry = Tuple[int, Fraction]
+
+_PRIMES = [1_000_003, 999_983, 1_000_033, 999_979, 1_000_037]
+
+
+class ExactSingularError(Exception):
+    """The matrix is singular (exactly)."""
+
+
+def _modinv_matrix(A_mod: np.ndarray, p: int) -> Optional[np.ndarray]:
+    """Inverse of A mod p by Gauss-Jordan; None if singular mod p."""
+    m = A_mod.shape[0]
+    M = A_mod % p
+    inv = np.eye(m, dtype=np.int64)
+    for k in range(m):
+        col = M[k:, k] % p
+        nz = np.nonzero(col)[0]
+        if nz.size == 0:
+            return None
+        pivot_row = k + int(nz[0])
+        if pivot_row != k:
+            M[[k, pivot_row]] = M[[pivot_row, k]]
+            inv[[k, pivot_row]] = inv[[pivot_row, k]]
+        piv_inv = pow(int(M[k, k]), p - 2, p)
+        M[k] = (M[k] * piv_inv) % p
+        inv[k] = (inv[k] * piv_inv) % p
+        factors = M[:, k].copy()
+        factors[k] = 0
+        # Rank-1 elimination update; entries stay below p^2 * 1 before the mod.
+        M -= np.outer(factors, M[k])
+        inv -= np.outer(factors, inv[k])
+        M %= p
+        inv %= p
+    return inv
+
+
+def _clear_denominators(
+    columns: Sequence[Sequence[Entry]], b: Sequence[Fraction]
+) -> Tuple[List[List[Tuple[int, int]]], List[int], List[int], int]:
+    """Integerize: B D y = beta * b with x = D y / beta.
+
+    Returns (integer columns, integer rhs, column multipliers d_j, beta).
+    """
+    int_columns: List[List[Tuple[int, int]]] = []
+    col_mults: List[int] = []
+    for col in columns:
+        d = 1
+        for _, v in col:
+            d = d * v.denominator // math.gcd(d, v.denominator)
+        int_columns.append([(i, int(v * d)) for i, v in col])
+        col_mults.append(d)
+    beta = 1
+    for v in b:
+        beta = beta * v.denominator // math.gcd(beta, v.denominator)
+    int_b = [int(v * beta) for v in b]
+    return int_columns, int_b, col_mults, beta
+
+
+def _lift_bound(int_columns: List[List[Tuple[int, int]]], int_b: List[int], p: int) -> int:
+    """Number of p-adic digits needed: p^K > 2 * numerator_bound * den_bound.
+
+    Hadamard: |det| <= prod_j ||col_j||_2; Cramer numerators similarly with b
+    substituted. Work in logs.
+    """
+    log_h = 0.0
+    max_col_log = 0.0
+    for col in int_columns:
+        s = sum(float(v) * float(v) for _, v in col)
+        col_log = 0.5 * math.log(max(s, 1.0))
+        log_h += col_log
+        max_col_log = max(max_col_log, col_log)
+    sb = sum(float(v) * float(v) for v in int_b)
+    log_b = 0.5 * math.log(max(sb, 1.0))
+    # numerator bound: Hadamard with worst column replaced by b
+    log_num = log_h - 0.0 + max(log_b, 0.0)
+    log_total = log_h + log_num + math.log(2.0)
+    return max(2, int(math.ceil(log_total / math.log(p))) + 2)
+
+
+def _rational_reconstruct(a: int, modulus: int, bound: int) -> Optional[Fraction]:
+    """Find n/d with n ≡ a·d (mod modulus), |n| <= bound, 0 < d <= modulus//(2*bound)."""
+    r0, r1 = modulus, a % modulus
+    t0, t1 = 0, 1
+    while r1 > bound:
+        q = r0 // r1
+        r0, r1 = r1, r0 - q * r1
+        t0, t1 = t1, t0 - q * t1
+    if t1 == 0:
+        return None
+    if t1 < 0:
+        r1, t1 = -r1, -t1
+    if math.gcd(r1 if r1 >= 0 else -r1, t1) != 1:
+        # Not guaranteed unique; verification will catch failures.
+        pass
+    return Fraction(r1, t1)
+
+
+def exact_solve(
+    columns: Sequence[Sequence[Entry]],
+    b: Sequence[Fraction],
+) -> List[Fraction]:
+    """Solve B x = b exactly; B given as sparse exact columns.
+
+    Raises :class:`ExactSingularError` if B is singular.
+    """
+    m = len(b)
+    assert len(columns) == m
+    int_columns, int_b, col_mults, beta = _clear_denominators(columns, b)
+
+    # Dense mod-p copy.
+    for p in _PRIMES:
+        A_mod = np.zeros((m, m), dtype=np.int64)
+        for j, col in enumerate(int_columns):
+            for i, v in col:
+                A_mod[i, j] = v % p
+        inv_p = _modinv_matrix(A_mod, p)
+        if inv_p is not None:
+            break
+    else:
+        raise ExactSingularError("matrix singular modulo several primes")
+
+    K = _lift_bound(int_columns, int_b, p)
+
+    # p-adic lifting.
+    r: List[int] = list(int_b)
+    digits: List[np.ndarray] = []
+    for _ in range(K):
+        rp = np.fromiter((ri % p for ri in r), dtype=np.int64, count=m)
+        d = (inv_p @ rp) % p
+        # r <- (r - B d) / p exactly, via the sparse integer columns.
+        Bd = [0] * m
+        for j in range(m):
+            dj = int(d[j])
+            if dj:
+                for i, aij in int_columns[j]:
+                    Bd[i] += aij * dj
+        r = [(ri - bdi) // p for ri, bdi in zip(r, Bd)]
+        digits.append(d)
+
+    modulus = p ** K
+    half = modulus // 2
+    bound = math.isqrt(half)
+
+    # Horner per entry, then shared-denominator reconstruction.
+    y_mod: List[int] = []
+    for i in range(m):
+        acc = 0
+        for d in reversed(digits):
+            acc = acc * p + int(d[i])
+        y_mod.append(acc % modulus)
+
+    den = 1
+    y: List[Fraction] = [Fraction(0)] * m
+    for i in range(m):
+        scaled = (y_mod[i] * den) % modulus
+        if scaled > half:
+            scaled -= modulus
+        if abs(scaled) <= bound * den:
+            y[i] = Fraction(scaled, den)
+        else:
+            rec = _rational_reconstruct(y_mod[i], modulus, bound)
+            if rec is None:
+                raise ExactSingularError("rational reconstruction failed")
+            y[i] = rec
+            den = den * rec.denominator // math.gcd(den, rec.denominator)
+
+    # Undo the integerization: x_j = d_j * y_j / beta.
+    x = [col_mults[j] * y[j] / beta for j in range(m)]
+
+    # Exact verification of B x = b (guards the bound estimate).
+    residual: List[Fraction] = [-v for v in b]
+    for j, col in enumerate(columns):
+        if x[j]:
+            for i, v in col:
+                residual[i] += v * x[j]
+    if any(residual):
+        raise ExactSingularError("exact verification failed (lift bound too small)")
+    return x
+
+
+def exact_solve_transpose(
+    columns: Sequence[Sequence[Entry]], c: Sequence[Fraction]
+) -> List[Fraction]:
+    """Solve B^T y = c exactly (duals)."""
+    m = len(c)
+    rows: List[List[Entry]] = [[] for _ in range(m)]
+    for j, col in enumerate(columns):
+        for i, v in col:
+            rows[i].append((j, v))
+    return exact_solve(rows, c)

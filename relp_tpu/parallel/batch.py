@@ -1,0 +1,62 @@
+"""Vmapped scenario batches — many LPs per chip / across the "batch" axis.
+
+The DP analog for LP solving (SURVEY.md section 2 checklist): every state
+member gains a leading batch dimension; all LPs advance in lockstep inside
+one ``lax.while_loop`` with an active mask (finished LPs keep their terminal
+state); the batch dimension shards across the mesh's "batch" axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from relp_tpu.simplex.kernels import make_iteration
+from relp_tpu.simplex.state import RUNNING, SimplexState
+
+
+def make_batch_state(states):
+    """Stack per-LP states into one batched state."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol"),
+)
+def batched_run_chunk(
+    batch_state: SimplexState,
+    A,  # (B, M, N)
+    c,  # (B, N)
+    candidate_mask,  # (B, N)
+    *,
+    pricing: int,
+    chunk: int,
+    opt_tol: float,
+    pivot_tol: float,
+    degen_tol: float,
+) -> SimplexState:
+    """Advance every LP in the batch by up to ``chunk`` pivots."""
+    iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
+    v_iter = jax.vmap(iteration, in_axes=(0, 0, 0, 0))
+    batch_state = batch_state._replace(
+        inner=jnp.zeros_like(batch_state.inner)
+    )
+
+    def cond(s: SimplexState):
+        return jnp.any((s.status == RUNNING) & (s.inner < chunk))
+
+    def body(s: SimplexState):
+        new = v_iter(s, A, c, candidate_mask)
+        # Freeze LPs that already terminated.
+        active = s.status == RUNNING
+
+        def sel(n, o):
+            extra = (1,) * (n.ndim - 1)
+            return jnp.where(active.reshape((-1,) + extra), n, o)
+
+        return jax.tree.map(sel, new, s)
+
+    return jax.lax.while_loop(cond, body, batch_state)

@@ -1,0 +1,73 @@
+"""Column-sharded simplex.
+
+The constraint store (the (M, N) tableau) is sharded by columns across the
+mesh's "col" axis — the TPU replacement for the reference's lazy
+``MatrixProvider`` scan (pricing is the only full-n pass, SURVEY.md section 5
+"long-context" analog).  The carry state (Binv, xB, pi, basis) is small and
+replicated.
+
+Under ``jit`` with these shardings, XLA/GSPMD compiles the pricing matvec
+``pi @ A`` into a per-shard local scan and inserts the argmax combine over
+ICI automatically; the entering column gather becomes an all-gather of one
+(M,) column.  This is the "annotate shardings, let XLA insert collectives"
+recipe — no hand-written NCCL analog.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+
+def _p():
+    from jax.sharding import PartitionSpec
+
+    return PartitionSpec
+
+
+def shard_problem(mesh, A, b, c, candidate_mask):
+    """Place the tableau column-sharded and the small vectors replicated."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    col = NamedSharding(mesh, P(None, "col"))
+    rep_cols = NamedSharding(mesh, P("col"))
+    rep = NamedSharding(mesh, P())
+    A = jax.device_put(A, col)
+    b = jax.device_put(b, rep)
+    c = jax.device_put(c, rep_cols)
+    candidate_mask = jax.device_put(candidate_mask, rep_cols)
+    return A, b, c, candidate_mask
+
+
+def shard_state(mesh, state):
+    """Replicate the carry state, except the (N,)-sized members which follow
+    the column sharding."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    cols = NamedSharding(mesh, P("col"))
+    return state._replace(
+        Binv=jax.device_put(state.Binv, rep),
+        basis=jax.device_put(state.basis, rep),
+        xB=jax.device_put(state.xB, rep),
+        pi=jax.device_put(state.pi, rep),
+        obj=jax.device_put(state.obj, rep),
+        in_basis=jax.device_put(state.in_basis, cols),
+        gamma=jax.device_put(state.gamma, cols),
+        iteration=jax.device_put(state.iteration, rep),
+        status=jax.device_put(state.status, rep),
+        degen_count=jax.device_put(state.degen_count, rep),
+        inner=jax.device_put(state.inner, rep),
+    )
+
+
+def sharded_run_chunk(mesh, state, A, c, candidate_mask, **kwargs):
+    """Run a chunk with the tableau column-sharded over the mesh.
+
+    Identical math to :func:`relp_tpu.simplex.kernels.run_chunk`; the
+    shardings of the inputs drive GSPMD partitioning.
+    """
+    from relp_tpu.simplex.kernels import run_chunk
+
+    return run_chunk(state, A, c, candidate_mask, **kwargs)

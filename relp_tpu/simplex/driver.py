@@ -1,0 +1,370 @@
+"""Host-side solve orchestration.
+
+The analog of the reference's solve facade + phase drivers
+(algorithm/mod.rs:17-47, two_phase/mod.rs:25-109, phase_one.rs, phase_two.rs):
+
+* phase 1 minimizes the artificial cost from a partially-artificial start,
+* leftover zero-level artificials are driven out; rows where that is
+  impossible are removed as redundant (rank repair; reference:
+  RemoveRows + from_artificial_removing_rows),
+* phase 2 runs the real costs,
+* the device does chunked pivots; the host only refactorizes between chunks,
+  switches pricing to Bland's rule under degeneracy stalls, and finally
+  certifies the basis exactly (reference analog: exact arithmetic
+  throughout + debug_assert_in_basic_feasible_solution_state).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from relp_tpu.config import SolverConfig, default_config
+from relp_tpu.linalg.sparse import SparseVector
+from relp_tpu.providers.base import MatrixProvider
+from relp_tpu.simplex import kernels
+from relp_tpu.simplex.kernels import (
+    PRICE_BLAND,
+    PRICE_DANTZIG,
+    PRICE_FIRST,
+    PRICE_STEEPEST,
+)
+from relp_tpu.simplex.lowering import (
+    DeviceProblem,
+    lower_provider,
+    lower_removing_rows,
+)
+from relp_tpu.simplex.result import OptimizationResult, SolveStats, SolveStatus
+from relp_tpu.simplex.state import (
+    OPTIMAL,
+    RUNNING,
+    SINGULAR,
+    UNBOUNDED,
+    SimplexState,
+)
+
+_PRICING_CODES = {
+    "dantzig": PRICE_DANTZIG,
+    "steepest": PRICE_STEEPEST,
+    "first": PRICE_FIRST,
+    "first_memory": PRICE_FIRST,
+}
+
+
+def _np_dtype(cfg: SolverConfig):
+    return np.float64 if cfg.dtype == "float64" else np.float32
+
+
+def _init_state(problem: DeviceProblem, cfg: SolverConfig) -> SimplexState:
+    import jax.numpy as jnp
+
+    dtype = _np_dtype(cfg)
+    M, N = problem.M, problem.N
+    basis = problem.initial_basis
+    in_basis = np.zeros(N, dtype=bool)
+    in_basis[basis] = True
+    xB = problem.b.astype(dtype)  # initial basis matrix is the identity
+    cB = problem.c_phase1[basis]
+    pi = cB.copy()  # pi = cB @ I
+    obj = float(cB @ xB)
+    gamma = np.ones(N, dtype=dtype)
+
+    return SimplexState(
+        Binv=jnp.eye(M, dtype=dtype),
+        basis=jnp.asarray(basis, dtype=jnp.int32),
+        xB=jnp.asarray(xB),
+        pi=jnp.asarray(pi),
+        obj=jnp.asarray(obj, dtype=dtype),
+        in_basis=jnp.asarray(in_basis),
+        gamma=jnp.asarray(gamma),
+        iteration=jnp.zeros((), jnp.int32),
+        status=jnp.asarray(RUNNING, jnp.int32),
+        degen_count=jnp.zeros((), jnp.int32),
+        inner=jnp.zeros((), jnp.int32),
+    )
+
+
+def _refactor_state(
+    state: SimplexState, A, b, c, cfg: SolverConfig, stats: SolveStats
+) -> Tuple[SimplexState, float]:
+    import jax.numpy as jnp
+
+    newton = 3 if cfg.dtype == "float64" else 1
+    Binv, xB, pi, obj, residual = kernels.refactorize(
+        A, b, c, state.basis, newton_steps=newton
+    )
+    stats.refactorizations += 1
+    # Clamp roundoff-level negatives (standard float-simplex practice; the
+    # exact certifier re-checks feasibility at the end).
+    xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
+    state = state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj)
+    return state, float(residual)
+
+
+def _run_phase(
+    state: SimplexState,
+    problem: DeviceProblem,
+    A,
+    b,
+    c,
+    candidate_mask,
+    cfg: SolverConfig,
+    stats: SolveStats,
+) -> SimplexState:
+    """Run chunks until the phase terminates."""
+    import jax.numpy as jnp
+
+    pricing = _PRICING_CODES[cfg.pricing]
+    if pricing == PRICE_STEEPEST:
+        state = state._replace(
+            gamma=kernels.recompute_gamma(state.Binv, A, state.in_basis)
+        )
+
+    bland_mode = False
+    max_chunks = max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2
+
+    for _ in range(max_chunks):
+        mode = PRICE_BLAND if bland_mode else pricing
+        state = kernels.run_chunk(
+            state,
+            A,
+            c,
+            candidate_mask,
+            pricing=mode,
+            chunk=cfg.chunk_size,
+            opt_tol=cfg.opt_tol,
+            pivot_tol=cfg.pivot_tol,
+            degen_tol=cfg.feas_tol,
+        )
+        stats.chunks += 1
+        status = int(state.status)
+        if status != RUNNING:
+            # In Bland mode, verify optimality under the configured rule too
+            # (Bland uses the same eligibility set, so OPTIMAL is OPTIMAL).
+            if bland_mode and status == OPTIMAL:
+                bland_mode = False
+            break
+
+        degen = int(state.degen_count)
+        if degen >= cfg.bland_threshold and not bland_mode:
+            bland_mode = True
+        elif bland_mode and degen == 0:
+            bland_mode = False
+
+        state, residual = _refactor_state(state, A, b, c, cfg, stats)
+        if not np.isfinite(residual) or residual > 1e-4:
+            state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
+            break
+        if pricing == PRICE_STEEPEST:
+            # Refresh drifted gamma weights at refactorization points.
+            state = state._replace(
+                gamma=kernels.recompute_gamma(state.Binv, A, state.in_basis)
+            )
+        if int(state.iteration) >= cfg.max_iterations:
+            break
+
+    return state
+
+
+def _drive_out_artificials(
+    state: SimplexState,
+    problem: DeviceProblem,
+    A,
+    c,
+    cfg: SolverConfig,
+) -> Tuple[SimplexState, List[int]]:
+    """Pivot zero-level artificials out of the basis; return redundant rows
+    (reference: remove_artificial_basis_variables, phase_one.rs:232-278)."""
+    basis = np.asarray(state.basis)
+    artificial_rows = [
+        i for i in range(problem.m_real) if basis[i] >= problem.art_offset
+    ]
+    redundant: List[int] = []
+    for r in artificial_rows:
+        row = np.asarray(kernels.tableau_row(state.Binv, A, r))
+        in_basis = np.asarray(state.in_basis)
+        candidates = np.where(
+            (~in_basis[: problem.n_real])
+            & (np.abs(row[: problem.n_real]) > 1e-7)
+        )[0]
+        if candidates.size:
+            q = int(candidates[np.argmax(np.abs(row[candidates]))])
+            state = kernels.forced_pivot(state, A, c, q, r)
+        else:
+            redundant.append(r)
+    return state, redundant
+
+
+def solve_relaxation(
+    provider: MatrixProvider, config: Optional[SolverConfig] = None
+) -> OptimizationResult:
+    """Two-phase revised simplex over a provider
+    (reference: SolveRelaxation::solve_relaxation, two_phase/mod.rs:25-109)."""
+    import jax.numpy as jnp
+
+    cfg = config or default_config()
+    stats = SolveStats()
+    t_start = time.time()
+    dtype = _np_dtype(cfg)
+
+    problem = lower_provider(provider, dtype=dtype, pad_to=cfg.pad_to)
+    A = jnp.asarray(problem.A)
+    b = jnp.asarray(problem.b)
+    c1 = jnp.asarray(problem.c_phase1)
+    c2 = jnp.asarray(problem.c_phase2)
+    candidate_mask = jnp.asarray(problem.candidate_mask)
+
+    state = _init_state(problem, cfg)
+
+    # --- phase 1 (skipped when slack pivots cover every row; reference:
+    # FullInitialBasis specialization, two_phase/mod.rs:80-109) ---
+    needs_phase1 = bool(
+        np.any(problem.initial_basis[: problem.m_real] >= problem.art_offset)
+    )
+    if needs_phase1:
+        state = _run_phase(state, problem, A, b, c1, candidate_mask, cfg, stats)
+        stats.phase1_iterations = int(state.iteration)
+        status = int(state.status)
+        if status == SINGULAR:
+            return _finish(cfg, stats, t_start, SolveStatus.NUMERICAL_ERROR)
+        if status == RUNNING:
+            return _finish(cfg, stats, t_start, SolveStatus.ITERATION_LIMIT)
+        if status == UNBOUNDED:
+            raise AssertionError("phase-1 objective cannot be unbounded")
+        if float(state.obj) > cfg.phase1_tol:
+            return _finish(cfg, stats, t_start, SolveStatus.INFEASIBLE)
+
+        state, redundant = _drive_out_artificials(state, problem, A, c1, cfg)
+        if redundant:
+            # Rank repair: rebuild without the redundant rows.
+            stats.removed_rows = redundant
+            old_basis = np.asarray(state.basis)
+            keep = [i for i in range(problem.m_real) if i not in set(redundant)]
+            problem = lower_removing_rows(
+                problem, redundant, dtype=dtype, pad_to=cfg.pad_to
+            )
+            new_basis = problem.initial_basis.copy()
+            for new_i, old_i in enumerate(keep):
+                j = int(old_basis[old_i])
+                if j < problem.n_real:
+                    new_basis[new_i] = j
+            problem.initial_basis = new_basis
+            A = jnp.asarray(problem.A)
+            b = jnp.asarray(problem.b)
+            c1 = jnp.asarray(problem.c_phase1)
+            c2 = jnp.asarray(problem.c_phase2)
+            candidate_mask = jnp.asarray(problem.candidate_mask)
+            state = _init_state(problem, cfg)
+
+        # Phase transition: real costs, fresh factorization
+        # (reference: from_artificial, non_artificial.rs:151-172).
+        state, residual = _refactor_state(state, A, b, c2, cfg, stats)
+        if not np.isfinite(residual) or residual > 1e-4:
+            return _finish(cfg, stats, t_start, SolveStatus.NUMERICAL_ERROR)
+        state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
+
+    # --- phase 2 ---
+    state = _run_phase(state, problem, A, b, c2, candidate_mask, cfg, stats)
+    stats.iterations = int(state.iteration)
+    status = int(state.status)
+    if status == SINGULAR:
+        return _finish(cfg, stats, t_start, SolveStatus.NUMERICAL_ERROR)
+    if status == RUNNING:
+        return _finish(cfg, stats, t_start, SolveStatus.ITERATION_LIMIT)
+    if status == UNBOUNDED:
+        return _finish(cfg, stats, t_start, SolveStatus.UNBOUNDED)
+
+    # --- extract the BFS over provider columns ---
+    basis_np = np.asarray(state.basis)
+    xB_np = np.asarray(state.xB)
+    entries = []
+    structural_basis: List[int] = []
+    for i in range(problem.m_real):
+        j = int(basis_np[i])
+        structural_basis.append(j)
+        if j < problem.n_real and abs(xB_np[i]) > cfg.zero_tol:
+            entries.append((j, xB_np[i]))
+
+    result = OptimizationResult(
+        status=SolveStatus.FINITE_OPTIMUM,
+        bfs=None,
+        objective=float(state.obj),
+        basis=structural_basis,
+        stats=stats,
+    )
+    result.float_entries = entries  # type: ignore[attr-defined]
+    result.provider = problem.provider  # type: ignore[attr-defined]
+    result.removed_rows = stats.removed_rows  # type: ignore[attr-defined]
+
+    if cfg.certify:
+        from relp_tpu.exact.certify import certify_and_repair
+
+        certify_and_repair(result, problem.provider, structural_basis, cfg)
+    else:
+        from fractions import Fraction
+
+        result.bfs = SparseVector(
+            [(j, Fraction(float(v))) for j, v in entries],
+            problem.n_real,
+        )
+
+    stats.wall_time_s = time.time() - t_start
+    return result
+
+
+def _finish(
+    cfg: SolverConfig, stats: SolveStats, t_start: float, status: SolveStatus
+) -> OptimizationResult:
+    stats.wall_time_s = time.time() - t_start
+    return OptimizationResult(status=status, stats=stats)
+
+
+def solve_general_form(
+    general_form, config: Optional[SolverConfig] = None
+) -> Tuple[OptimizationResult, Optional[object]]:
+    """Full pipeline on a GeneralForm: presolve -> standardize -> solve ->
+    reconstruct (the canonical reference pipeline, SURVEY.md 3.1).
+
+    Returns (result, Solution or None).
+    """
+    from relp_tpu.data.elements import LinearProgramError, LPStatus
+
+    cfg = config or default_config()
+    gf = general_form
+
+    if cfg.presolve:
+        try:
+            gf.presolve()
+        except LinearProgramError as exc:
+            stats = SolveStats()
+            if exc.status is LPStatus.FINITE_OPTIMUM:
+                result = OptimizationResult(
+                    status=SolveStatus.FINITE_OPTIMUM, stats=stats
+                )
+                result.stats.certified = True
+                return result, exc.payload
+            if exc.status is LPStatus.INFEASIBLE:
+                return OptimizationResult(SolveStatus.INFEASIBLE, stats=stats), None
+            return OptimizationResult(SolveStatus.UNBOUNDED, stats=stats), None
+
+    if cfg.prescale:
+        from relp_tpu.data.scale import scale_general_form
+
+        scaling = scale_general_form(gf)
+    else:
+        scaling = None
+
+    counts = gf.standardize()
+    matrix_data = gf.derive_matrix_data(counts)
+    result = solve_relaxation(matrix_data, cfg)
+    if not result.is_optimal():
+        return result, None
+
+    reduced = result.exact_bfs if result.exact_bfs is not None else result.bfs
+    reduced = matrix_data.reconstruct_solution(reduced)
+    if scaling is not None:
+        scaling.unscale_solution(reduced)
+    solution = gf.compute_full_solution_with_reduced_solution(reduced)
+    return result, solution

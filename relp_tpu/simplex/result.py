@@ -1,0 +1,54 @@
+"""Solver results.
+
+Mirror of the reference's result vocabulary (``OptimizationResult`` in
+algorithm/mod.rs:43-47 + the infeasible verdict of phase 1): finite optimum
+carrying a basic feasible solution, unbounded, or infeasible — plus solver
+statistics new to this framework (iterations, refactorizations, wall time).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from fractions import Fraction
+from typing import Dict, List, Optional, Tuple
+
+from relp_tpu.linalg.sparse import SparseVector
+
+
+class SolveStatus(enum.Enum):
+    FINITE_OPTIMUM = "finite_optimum"
+    INFEASIBLE = "infeasible"
+    UNBOUNDED = "unbounded"
+    ITERATION_LIMIT = "iteration_limit"
+    NUMERICAL_ERROR = "numerical_error"
+
+
+@dataclass
+class SolveStats:
+    iterations: int = 0
+    phase1_iterations: int = 0
+    refactorizations: int = 0
+    chunks: int = 0
+    exact_cleanup_pivots: int = 0
+    certified: bool = False
+    wall_time_s: float = 0.0
+    removed_rows: List[int] = field(default_factory=list)
+
+
+@dataclass
+class OptimizationResult:
+    status: SolveStatus
+    # Float BFS over provider columns (present on FINITE_OPTIMUM).
+    bfs: Optional[SparseVector] = None
+    # Float objective value of the provider-level LP.
+    objective: Optional[float] = None
+    # Exact rational BFS + objective when certification ran.
+    exact_bfs: Optional[SparseVector] = None
+    exact_objective: Optional[Fraction] = None
+    # Final basis (provider column index per structural row).
+    basis: Optional[List[int]] = None
+    stats: SolveStats = field(default_factory=SolveStats)
+
+    def is_optimal(self) -> bool:
+        return self.status is SolveStatus.FINITE_OPTIMUM
