@@ -40,6 +40,7 @@ def main():
     A, b, c1, c2, cand, basis = _synthetic_problem(m=m, n=n, pad=128, seed=7)
     state0 = _make_state(A, b, c1, basis)
     A_d = jnp.asarray(A)
+    A_scan = A_d.astype(jnp.float32)
     c_d = jnp.asarray(c1)
     cand_d = jnp.asarray(cand)
 
@@ -53,7 +54,7 @@ def main():
     )
 
     # Warm up (compile) and confirm the loop actually pivots.
-    state = kernels.run_chunk(state0, A_d, c_d, cand_d, **kwargs)
+    state = kernels.run_chunk(state0, A_scan, A_d, c_d, cand_d, **kwargs)
     jax.block_until_ready(state)
     if int(state.iteration) == 0:
         print(
@@ -75,7 +76,7 @@ def main():
     total_iters = 0
     t0 = time.time()
     for _ in range(reps):
-        out = kernels.run_chunk(state0, A_d, c_d, cand_d, **kwargs)
+        out = kernels.run_chunk(state0, A_scan, A_d, c_d, cand_d, **kwargs)
         jax.block_until_ready(out)
         total_iters += int(out.iteration)
     elapsed = time.time() - t0
@@ -89,7 +90,7 @@ def main():
         "detail": {
             "problem": f"dense {m}x{n} standard form + {m} artificials",
             "pricing": "steepest-edge",
-            "dtype": "float64",
+            "dtype": "float64 carry + float32 scans",
             "chunk": chunk,
             "reps": reps,
             "total_iterations": total_iters,

@@ -32,6 +32,13 @@ class SolverConfig:
     # dtype used on device: "float64" (default, robust) or "float32".
     dtype: str = "float64"
 
+    # dtype of the tableau copy used for the full-width pricing /
+    # steepest-edge scans ("float32" | "bfloat16" | "same").  f64 matvecs are
+    # emulated and HBM-bound on TPU; scanning in f32 is ~4x less traffic.
+    # The driver polishes with full-precision chunks at phase end, and the
+    # exact certifier backstops correctness.
+    scan_dtype: str = "float32"
+
     # Pricing rule: "dantzig" | "steepest" | "first" | "first_memory"
     # (reference: strategy/pivot_rule.rs: SteepestDescentAlongVariable,
     # SteepestDescentAlongObjective, FirstProfitable, FirstProfitableWithMemory).
@@ -86,6 +93,8 @@ class SolverConfig:
     def __post_init__(self) -> None:
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")
+        if self.scan_dtype not in ("float32", "bfloat16", "same"):
+            raise ValueError(f"unsupported scan_dtype {self.scan_dtype!r}")
         if self.pricing not in ("dantzig", "steepest", "first", "first_memory"):
             raise ValueError(f"unsupported pricing rule {self.pricing!r}")
         if self.dtype == "float64":

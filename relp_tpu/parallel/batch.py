@@ -40,16 +40,17 @@ def batched_run_chunk(
 ) -> SimplexState:
     """Advance every LP in the batch by up to ``chunk`` pivots."""
     iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
-    v_iter = jax.vmap(iteration, in_axes=(0, 0, 0, 0))
+    v_iter = jax.vmap(iteration, in_axes=(0, 0, 0, 0, 0, 0))
     batch_state = batch_state._replace(
         inner=jnp.zeros_like(batch_state.inner)
     )
+    c_scan = c
 
     def cond(s: SimplexState):
         return jnp.any((s.status == RUNNING) & (s.inner < chunk))
 
     def body(s: SimplexState):
-        new = v_iter(s, A, c, candidate_mask)
+        new = v_iter(s, A, A, c, c_scan, candidate_mask)
         # Freeze LPs that already terminated.
         active = s.status == RUNNING
 

@@ -106,30 +106,42 @@ def _refactor_state(
 def _run_phase(
     state: SimplexState,
     problem: DeviceProblem,
-    A,
+    A_scan,
+    A_full,
     b,
     c,
     candidate_mask,
     cfg: SolverConfig,
     stats: SolveStats,
 ) -> SimplexState:
-    """Run chunks until the phase terminates."""
+    """Run chunks until the phase terminates.
+
+    With mixed-precision scans, an OPTIMAL verdict from the low-precision
+    pricing is *polished*: the loop continues with full-precision scans until
+    optimal at working precision.
+    """
     import jax.numpy as jnp
 
     pricing = _PRICING_CODES[cfg.pricing]
+    mixed = A_scan is not A_full
     if pricing == PRICE_STEEPEST:
         state = state._replace(
-            gamma=kernels.recompute_gamma(state.Binv, A, state.in_basis)
+            gamma=kernels.recompute_gamma(state.Binv, A_scan, state.in_basis)
         )
 
     bland_mode = False
+    polishing = False
     max_chunks = max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2
+    last_obj: Optional[float] = None
+    stall_chunks = 0
 
     for _ in range(max_chunks):
         mode = PRICE_BLAND if bland_mode else pricing
+        scan = A_full if polishing else A_scan
         state = kernels.run_chunk(
             state,
-            A,
+            scan,
+            A_full,
             c,
             candidate_mask,
             pricing=mode,
@@ -140,6 +152,36 @@ def _run_phase(
         )
         stats.chunks += 1
         status = int(state.status)
+
+        # Degenerate-vertex stall detection: tolerance-sized Harris steps can
+        # keep pivoting without objective progress; a stalled objective over
+        # whole chunks switches to Bland's rule until progress resumes.
+        obj = float(state.obj)
+        progressed = last_obj is None or (last_obj - obj) > 1e-12 * (1.0 + abs(obj))
+        last_obj = obj
+        if progressed:
+            stall_chunks = 0
+            if bland_mode and status == RUNNING:
+                bland_mode = False
+        elif status == RUNNING:
+            stall_chunks += 1
+            if stall_chunks >= 2:
+                bland_mode = True
+        if status == OPTIMAL and mixed and not polishing:
+            # Low-precision scans said optimal; continue at full precision.
+            polishing = True
+            state, residual = _refactor_state(state, A_full, b, c, cfg, stats)
+            if not np.isfinite(residual) or residual > 1e-4:
+                state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
+                break
+            if pricing == PRICE_STEEPEST:
+                state = state._replace(
+                    gamma=kernels.recompute_gamma(
+                        state.Binv, A_full, state.in_basis
+                    )
+                )
+            state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
+            continue
         if status != RUNNING:
             # In Bland mode, verify optimality under the configured rule too
             # (Bland uses the same eligibility set, so OPTIMAL is OPTIMAL).
@@ -147,20 +189,17 @@ def _run_phase(
                 bland_mode = False
             break
 
-        degen = int(state.degen_count)
-        if degen >= cfg.bland_threshold and not bland_mode:
+        if int(state.degen_count) >= cfg.bland_threshold:
             bland_mode = True
-        elif bland_mode and degen == 0:
-            bland_mode = False
 
-        state, residual = _refactor_state(state, A, b, c, cfg, stats)
+        state, residual = _refactor_state(state, A_full, b, c, cfg, stats)
         if not np.isfinite(residual) or residual > 1e-4:
             state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
             break
         if pricing == PRICE_STEEPEST:
             # Refresh drifted gamma weights at refactorization points.
             state = state._replace(
-                gamma=kernels.recompute_gamma(state.Binv, A, state.in_basis)
+                gamma=kernels.recompute_gamma(state.Binv, scan, state.in_basis)
             )
         if int(state.iteration) >= cfg.max_iterations:
             break
@@ -201,7 +240,31 @@ def solve_relaxation(
     provider: MatrixProvider, config: Optional[SolverConfig] = None
 ) -> OptimizationResult:
     """Two-phase revised simplex over a provider
-    (reference: SolveRelaxation::solve_relaxation, two_phase/mod.rs:25-109)."""
+    (reference: SolveRelaxation::solve_relaxation, two_phase/mod.rs:25-109).
+
+    On numerical breakdown (singular refactorization), retries once with
+    conservative settings: full-precision scans, larger pivot tolerance,
+    frequent refactorization.
+    """
+    import dataclasses
+
+    cfg0 = config or default_config()
+    result = _solve_relaxation_once(provider, cfg0)
+    if result.status is SolveStatus.NUMERICAL_ERROR:
+        retry_cfg = dataclasses.replace(
+            cfg0,
+            pivot_tol=max(cfg0.pivot_tol, 1e-7),
+            refactor_period=30,
+            chunk_size=30,
+            scan_dtype="same",
+        )
+        result = _solve_relaxation_once(provider, retry_cfg)
+    return result
+
+
+def _solve_relaxation_once(
+    provider: MatrixProvider, config: Optional[SolverConfig] = None
+) -> OptimizationResult:
     import jax.numpy as jnp
 
     cfg = config or default_config()
@@ -209,8 +272,14 @@ def solve_relaxation(
     t_start = time.time()
     dtype = _np_dtype(cfg)
 
-    problem = lower_provider(provider, dtype=dtype, pad_to=cfg.pad_to)
+    problem = lower_provider(
+        provider, dtype=dtype, pad_to=cfg.pad_to, equilibrate=cfg.prescale
+    )
     A = jnp.asarray(problem.A)
+    if cfg.scan_dtype != "same" and cfg.scan_dtype != cfg.dtype:
+        A_scan = A.astype(jnp.dtype(cfg.scan_dtype))
+    else:
+        A_scan = A
     b = jnp.asarray(problem.b)
     c1 = jnp.asarray(problem.c_phase1)
     c2 = jnp.asarray(problem.c_phase2)
@@ -224,7 +293,9 @@ def solve_relaxation(
         np.any(problem.initial_basis[: problem.m_real] >= problem.art_offset)
     )
     if needs_phase1:
-        state = _run_phase(state, problem, A, b, c1, candidate_mask, cfg, stats)
+        state = _run_phase(
+            state, problem, A_scan, A, b, c1, candidate_mask, cfg, stats
+        )
         stats.phase1_iterations = int(state.iteration)
         status = int(state.status)
         if status == SINGULAR:
@@ -252,6 +323,10 @@ def solve_relaxation(
                     new_basis[new_i] = j
             problem.initial_basis = new_basis
             A = jnp.asarray(problem.A)
+            if cfg.scan_dtype != "same" and cfg.scan_dtype != cfg.dtype:
+                A_scan = A.astype(jnp.dtype(cfg.scan_dtype))
+            else:
+                A_scan = A
             b = jnp.asarray(problem.b)
             c1 = jnp.asarray(problem.c_phase1)
             c2 = jnp.asarray(problem.c_phase2)
@@ -266,7 +341,9 @@ def solve_relaxation(
         state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
 
     # --- phase 2 ---
-    state = _run_phase(state, problem, A, b, c2, candidate_mask, cfg, stats)
+    state = _run_phase(
+        state, problem, A_scan, A, b, c2, candidate_mask, cfg, stats
+    )
     stats.iterations = int(state.iteration)
     status = int(state.status)
     if status == SINGULAR:
@@ -285,7 +362,10 @@ def solve_relaxation(
         j = int(basis_np[i])
         structural_basis.append(j)
         if j < problem.n_real and abs(xB_np[i]) > cfg.zero_tol:
-            entries.append((j, xB_np[i]))
+            value = xB_np[i]
+            if problem.col_scale is not None:
+                value *= problem.col_scale[j]  # undo equilibration
+            entries.append((j, value))
 
     result = OptimizationResult(
         status=SolveStatus.FINITE_OPTIMUM,
@@ -349,13 +429,8 @@ def solve_general_form(
                 return OptimizationResult(SolveStatus.INFEASIBLE, stats=stats), None
             return OptimizationResult(SolveStatus.UNBOUNDED, stats=stats), None
 
-    if cfg.prescale:
-        from relp_tpu.data.scale import scale_general_form
-
-        scaling = scale_general_form(gf)
-    else:
-        scaling = None
-
+    # Prescaling is applied inside the device lowering (pow-2 equilibration,
+    # invisible to the exact pipeline — see relp_tpu.data.scale).
     counts = gf.standardize()
     matrix_data = gf.derive_matrix_data(counts)
     result = solve_relaxation(matrix_data, cfg)
@@ -364,7 +439,5 @@ def solve_general_form(
 
     reduced = result.exact_bfs if result.exact_bfs is not None else result.bfs
     reduced = matrix_data.reconstruct_solution(reduced)
-    if scaling is not None:
-        scaling.unscale_solution(reduced)
     solution = gf.compute_full_solution_with_reduced_solution(reduced)
     return result, solution

@@ -64,40 +64,82 @@ def _select_entering(d, gamma, eligible, pricing: int, N: int):
 
 
 def _select_leaving(xB, w, basis, pricing: int, pivot_tol: float, M: int):
-    """Ratio test; returns (r, any_positive).
+    """Harris two-pass ratio test; returns (r, any_positive).
 
-    Normal mode breaks near-ties by the largest pivot element (stability);
-    Bland mode by the smallest leaving basis index (anti-cycling,
-    reference: tableau/mod.rs:294-309).
+    Pass 1 computes the tolerance-relaxed step bound
+    ``theta = min (xB_i + delta) / w_i``; pass 2 picks, among rows whose true
+    ratio fits under theta, the row with the *largest* pivot element —
+    trading a feasibility-tolerance-sized bound violation for much better
+    numerical stability than the textbook min-ratio rule (which the exact
+    reference can afford, tableau/mod.rs:287-313, but floats cannot).
+    Bland mode instead breaks exact near-ties by the smallest leaving basis
+    index (anti-cycling; reference: Bland tie-break).
     """
     pos = w > pivot_tol
     big = jnp.array(jnp.inf, dtype=w.dtype)
-    ratio = jnp.where(pos, xB / jnp.where(pos, w, 1.0), big)
-    tmin = jnp.min(ratio)
+    safe_w = jnp.where(pos, w, 1.0)
+    # Tolerance-negative basic values count as zero — otherwise negative
+    # ratios would admit objective-worsening micro-steps and cycling.
+    xB_eff = jnp.maximum(xB, 0.0)
+    ratio = jnp.where(pos, xB_eff / safe_w, big)
     any_positive = jnp.any(pos)
-    near = pos & (ratio <= tmin + 1e-9 * (1.0 + jnp.abs(tmin)))
     if pricing == PRICE_BLAND:
+        tmin = jnp.min(ratio)
+        near = pos & (ratio <= tmin + 1e-12 * (1.0 + jnp.abs(tmin)))
         r = jnp.argmin(jnp.where(near, basis, jnp.iinfo(jnp.int32).max))
     else:
-        r = jnp.argmax(jnp.where(near, w, -big))
+        delta = 1e-7
+        relaxed = jnp.where(pos, (xB_eff + delta) / safe_w, big)
+        theta = jnp.min(relaxed)
+        ok = pos & (ratio <= theta)
+        r = jnp.argmax(jnp.where(ok, w, -big))
     return r, any_positive
 
 
 def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: float):
-    """Build one fused simplex iteration (A, b, c, cand static-shape args)."""
+    """Build one fused simplex iteration.
 
-    def iteration(state: SimplexState, A, c, candidate_mask) -> SimplexState:
-        M, N = A.shape
+    ``A_scan`` is the tableau copy used for the full-width pricing and
+    steepest-edge scans (may be float32 — the f64 matvec is emulated and
+    HBM-bound on TPU, so scanning in f32 is ~4x less traffic and uses native
+    VPU/MXU paths); ``A_full`` is the working-precision copy used for the
+    FTRAN gather.  Mixed-precision termination is polished by full-precision
+    chunks in the driver and ultimately by the exact certifier.
+    """
 
-        # --- pricing ---
-        d = c - state.pi @ A
-        eligible = candidate_mask & (~state.in_basis) & (d < -opt_tol)
-        q, any_eligible = _select_entering(d, state.gamma, eligible, pricing, N)
+    def iteration(state: SimplexState, A_scan, A_full, c, c_scan, candidate_mask) -> SimplexState:
+        M, N = A_scan.shape
+        scan_dtype = A_scan.dtype
+        low_precision_scan = scan_dtype != A_full.dtype
+
+        # --- pricing (in scan precision) ---
+        d = c_scan - state.pi.astype(scan_dtype) @ A_scan
+        if low_precision_scan:
+            # Low-precision reduced costs carry noise ~eps * |pi| * |a|; an
+            # absolute 1e-9 threshold would fabricate candidates forever on
+            # large-scale problems.  Scale the eligibility floor by |pi|.
+            noise = jnp.finfo(scan_dtype).eps * 8.0
+            threshold = opt_tol + noise * (1.0 + jnp.max(jnp.abs(state.pi))).astype(
+                scan_dtype
+            )
+        else:
+            threshold = jnp.asarray(opt_tol, scan_dtype)
+        eligible = candidate_mask & (~state.in_basis) & (d < -threshold)
+        gamma = state.gamma.astype(scan_dtype)
+        q, any_eligible = _select_entering(d, gamma, eligible, pricing, N)
         q = q.astype(jnp.int32)
 
-        # --- FTRAN ---
-        a_q = A[:, q]
+        # --- FTRAN (working precision) ---
+        a_q = A_full[:, q]
         w = state.Binv @ a_q
+
+        # Recheck the selected column's reduced cost at working precision;
+        # a scan-noise candidate means the scan found nothing real, so the
+        # chunk reports OPTIMAL and the driver's full-precision polish pass
+        # decides true optimality.
+        d_q_full = c[q] - state.pi @ a_q
+        really_improving = d_q_full < -opt_tol
+        any_eligible = any_eligible & really_improving
 
         # --- ratio test ---
         r, any_positive = _select_leaving(
@@ -114,7 +156,7 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
         # --- basis change (product-form update) ---
         w_r = w[r]
         safe_w_r = jnp.where(do_pivot, w_r, 1.0)
-        t = state.xB[r] / safe_w_r
+        t = jnp.maximum(state.xB[r], 0.0) / safe_w_r
         Binv_r = state.Binv[r] / safe_w_r
         Binv_new = state.Binv - jnp.outer(w, Binv_r)
         Binv_new = Binv_new.at[r].set(Binv_r)
@@ -129,18 +171,22 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
         pi_new = cB @ Binv_new
         obj_new = cB @ xB_new
 
-        # --- steepest-edge gamma update (Goldfarb; pivot_rule.rs:243-296) ---
+        # --- steepest-edge gamma update (Goldfarb; pivot_rule.rs:243-296),
+        # computed in scan precision (the two full-width scans dominate) ---
         if pricing == PRICE_STEEPEST:
-            gamma_q_val = 1.0 + w @ w
-            v = w @ state.Binv  # work vector, OLD inverse
-            abar = Binv_new[r] @ A  # pivot row of the updated tableau
-            inner = v @ A
-            gamma_new = state.gamma - 2.0 * abar * inner + (abar * abar) * gamma_q_val
+            gamma_q_val = (1.0 + w @ w).astype(scan_dtype)
+            v = (w @ state.Binv).astype(scan_dtype)  # work vector, OLD inverse
+            abar = Binv_new[r].astype(scan_dtype) @ A_scan  # new pivot row scan
+            inner = v @ A_scan
+            gamma_new = gamma - 2.0 * abar * inner + (abar * abar) * gamma_q_val
             gamma_new = jnp.maximum(gamma_new, 1.0 + abar * abar)
             gamma_new = gamma_new.at[leaving].set(
-                jnp.maximum(gamma_q_val / (safe_w_r * safe_w_r), 1.0)
+                jnp.maximum(
+                    gamma_q_val / (safe_w_r * safe_w_r).astype(scan_dtype), 1.0
+                )
             )
             gamma_new = gamma_new.at[q].set(1.0)
+            gamma_new = gamma_new.astype(state.gamma.dtype)
         else:
             gamma_new = state.gamma
 
@@ -170,7 +216,8 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
 )
 def run_chunk(
     state: SimplexState,
-    A,
+    A_scan,
+    A_full,
     c,
     candidate_mask,
     *,
@@ -180,15 +227,20 @@ def run_chunk(
     pivot_tol: float,
     degen_tol: float,
 ) -> SimplexState:
-    """Run up to ``chunk`` pivots on device without host round-trips."""
+    """Run up to ``chunk`` pivots on device without host round-trips.
+
+    ``A_scan`` may be a lower-precision copy of ``A_full`` (mixed-precision
+    pricing); pass the same array twice for full-precision behavior.
+    """
     iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
     state = state._replace(inner=jnp.zeros((), jnp.int32))
+    c_scan = c.astype(A_scan.dtype)
 
     def cond(s: SimplexState):
         return (s.status == RUNNING) & (s.inner < chunk)
 
     def body(s: SimplexState):
-        return iteration(s, A, c, candidate_mask)
+        return iteration(s, A_scan, A_full, c, c_scan, candidate_mask)
 
     return jax.lax.while_loop(cond, body, state)
 
@@ -219,12 +271,15 @@ def refactorize(A, b, c, basis, *, newton_steps: int = 3):
 
 
 @jax.jit
-def recompute_gamma(Binv, A, in_basis):
+def recompute_gamma(Binv, A_scan, in_basis):
     """Exact steepest-edge weights gamma_j = 1 + ||Binv a_j||^2
-    (reference: initial_gamma, pivot_rule.rs:299-305)."""
-    W = Binv @ A
+    (reference: initial_gamma, pivot_rule.rs:299-305).
+
+    Runs in the scan precision — this is a full (M,M)x(M,N) matmul.
+    """
+    W = Binv.astype(A_scan.dtype) @ A_scan
     gamma = 1.0 + jnp.sum(W * W, axis=0)
-    return jnp.where(in_basis, 1.0, gamma)
+    return jnp.where(in_basis, 1.0, gamma).astype(Binv.dtype)
 
 
 @jax.jit

@@ -45,6 +45,10 @@ class DeviceProblem:
     n_real: int  # real (provider) column count
     art_offset: int  # artificial column for row i lives at art_offset + i
     provider: MatrixProvider
+    # pow-2 equilibration factors (None when prescaling is off); the float
+    # solution of the scaled system maps back via x_j *= col_scale[j].
+    col_scale: Optional[np.ndarray] = None
+    row_scale: Optional[np.ndarray] = None
 
     @property
     def M(self) -> int:
@@ -62,6 +66,7 @@ def lower_provider(
     provider: MatrixProvider,
     dtype=np.float64,
     pad_to: int = 128,
+    equilibrate: bool = False,
 ) -> DeviceProblem:
     m_real = provider.nr_rows()
     n_real = provider.nr_columns()
@@ -78,15 +83,35 @@ def lower_provider(
         cost = provider.cost_value(j)
         if cost:
             c2[j] = float(cost)
-    # Artificial identity block (includes padding rows).
-    for i in range(M):
-        A[i, art_offset + i] = 1.0
 
     b = np.zeros(M, dtype=dtype)
     rhs = provider.right_hand_side()
     assert len(rhs) == m_real
     for i, v in enumerate(rhs):
         b[i] = float(v)
+
+    row_scale = col_scale = None
+    if equilibrate:
+        # Pow-2 preconditioner on the real block; b >= 0 is preserved, the
+        # optimal basis is unchanged, and x_j = x'_j * col_scale[j]
+        # (reference analog: the prescaling framework, SURVEY.md comp. 9).
+        from relp_tpu.data.scale.equilibrate import equilibrate as _equilibrate
+
+        row_scale, col_scale = _equilibrate(A[:, :n_real])
+        full_row = np.ones(M, dtype=dtype)
+        full_row[: len(row_scale)] = row_scale
+        full_col = np.ones(N, dtype=dtype)
+        full_col[:n_real] = col_scale
+        A[:, :n_real] *= row_scale[:, None]
+        A[:, :n_real] *= col_scale[None, :]
+        b *= full_row
+        c2 *= full_col
+        row_scale, col_scale = full_row, full_col
+
+    # Artificial identity block (includes padding rows; kept unscaled so the
+    # initial basis matrix stays the identity).
+    for i in range(M):
+        A[i, art_offset + i] = 1.0
 
     c1 = np.zeros(N, dtype=dtype)
     c1[art_offset : art_offset + m_real] = 1.0
@@ -112,6 +137,8 @@ def lower_provider(
         n_real=n_real,
         art_offset=art_offset,
         provider=provider,
+        col_scale=col_scale,
+        row_scale=row_scale,
     )
 
 
@@ -126,4 +153,9 @@ def lower_removing_rows(
     from relp_tpu.providers.filter import RemoveRows
 
     filtered = RemoveRows(problem.provider, rows_to_remove)
-    return lower_provider(filtered, dtype=dtype, pad_to=pad_to)
+    return lower_provider(
+        filtered,
+        dtype=dtype,
+        pad_to=pad_to,
+        equilibrate=problem.col_scale is not None,
+    )

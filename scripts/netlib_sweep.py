@@ -1,0 +1,112 @@
+"""Sweep all netlib problems and report per-problem outcomes.
+
+Usage:
+  env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu python scripts/netlib_sweep.py [--budget SECONDS] [names...]
+
+Writes a JSON report to /tmp/netlib_sweep.json and prints a summary table.
+"""
+
+import argparse
+import json
+import os
+import signal
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+from netlib_expected import NETLIB_EXPECTED
+
+PROBLEM_DIR = "/root/reference/tests/netlib/problem_files"
+
+
+class Timeout(Exception):
+    pass
+
+
+def _alarm(signum, frame):
+    raise Timeout()
+
+
+def solve_one(name, budget, cfg_overrides):
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.io import mps_to_general_form, parse_fixed
+    from relp_tpu.simplex import solve_general_form
+
+    path = os.path.join(PROBLEM_DIR, f"{name}.SIF")
+    t0 = time.time()
+    with open(path) as f:
+        mps = parse_fixed(f.read())
+    gf = mps_to_general_form(mps)
+    parse_s = time.time() - t0
+    defaults = dict(pad_to=128, chunk_size=100, refactor_period=100)
+    defaults.update(cfg_overrides)
+    cfg = SolverConfig(**defaults)
+    t1 = time.time()
+    result, solution = solve_general_form(gf, cfg)
+    solve_s = time.time() - t1
+    return result, solution, parse_s, solve_s
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--budget", type=float, default=120.0)
+    parser.add_argument("--out", default="/tmp/netlib_sweep.json")
+    parser.add_argument("names", nargs="*")
+    args = parser.parse_args()
+
+    names = args.names or sorted(NETLIB_EXPECTED)
+    signal.signal(signal.SIGALRM, _alarm)
+
+    report = {}
+    for name in names:
+        expected, tol, ignored = NETLIB_EXPECTED[name]
+        entry = {"expected": expected, "tol": tol, "ignored_in_reference": ignored}
+        signal.alarm(int(args.budget))
+        t0 = time.time()
+        try:
+            result, solution, parse_s, solve_s = solve_one(name, args.budget, {})
+            entry["status"] = result.status.value
+            entry["parse_s"] = round(parse_s, 2)
+            entry["solve_s"] = round(solve_s, 2)
+            entry["iterations"] = result.stats.iterations
+            entry["certified"] = result.stats.certified
+            entry["cleanup_pivots"] = result.stats.exact_cleanup_pivots
+            if solution is not None:
+                value = float(solution.objective_value)
+                entry["objective"] = value
+                entry["pass"] = abs(value - expected) < tol
+            else:
+                entry["pass"] = False
+        except Timeout:
+            entry["status"] = "timeout"
+            entry["pass"] = False
+            entry["solve_s"] = round(time.time() - t0, 2)
+        except Exception as exc:  # noqa: BLE001 — sweep must survive anything
+            entry["status"] = f"error: {type(exc).__name__}: {exc}"
+            entry["trace"] = traceback.format_exc()[-1500:]
+            entry["pass"] = False
+        finally:
+            signal.alarm(0)
+        report[name] = entry
+        marker = "PASS" if entry.get("pass") else "FAIL"
+        print(
+            f"{marker} {name:10s} {entry.get('status','?'):16s} "
+            f"obj={entry.get('objective','-')!s:>20s} "
+            f"iters={entry.get('iterations','-')!s:>7s} "
+            f"t={entry.get('solve_s','-')!s:>8s}s "
+            f"certified={entry.get('certified','-')!s:>5s} "
+            f"{'(ref-ignored)' if ignored else ''}",
+            flush=True,
+        )
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    passed = sum(1 for e in report.values() if e.get("pass"))
+    print(f"\n{passed}/{len(report)} passed -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
