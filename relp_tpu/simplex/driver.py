@@ -237,10 +237,19 @@ def _drive_out_artificials(
 
 
 def solve_relaxation(
-    provider: MatrixProvider, config: Optional[SolverConfig] = None
+    provider: MatrixProvider,
+    config: Optional[SolverConfig] = None,
+    *,
+    warm_start_basis: Optional[List[int]] = None,
 ) -> OptimizationResult:
     """Two-phase revised simplex over a provider
     (reference: SolveRelaxation::solve_relaxation, two_phase/mod.rs:25-109).
+
+    ``warm_start_basis`` is a provider-column index per structural row; a
+    feasible basis skips phase 1 entirely (reference: IM::from_basis_pivots +
+    the FullInitialBasis specialization; also the checkpoint/resume recipe —
+    persist ``result.basis``, resume by passing it here).  An infeasible warm
+    basis falls back to a cold start.
 
     On numerical breakdown (singular refactorization), retries once with
     conservative settings: full-precision scans, larger pivot tolerance,
@@ -249,7 +258,7 @@ def solve_relaxation(
     import dataclasses
 
     cfg0 = config or default_config()
-    result = _solve_relaxation_once(provider, cfg0)
+    result = _solve_relaxation_once(provider, cfg0, warm_start_basis)
     if result.status is SolveStatus.NUMERICAL_ERROR:
         retry_cfg = dataclasses.replace(
             cfg0,
@@ -258,12 +267,14 @@ def solve_relaxation(
             chunk_size=30,
             scan_dtype="same",
         )
-        result = _solve_relaxation_once(provider, retry_cfg)
+        result = _solve_relaxation_once(provider, retry_cfg, warm_start_basis)
     return result
 
 
 def _solve_relaxation_once(
-    provider: MatrixProvider, config: Optional[SolverConfig] = None
+    provider: MatrixProvider,
+    config: Optional[SolverConfig] = None,
+    warm_start_basis: Optional[List[int]] = None,
 ) -> OptimizationResult:
     import jax.numpy as jnp
 
@@ -285,11 +296,32 @@ def _solve_relaxation_once(
     c2 = jnp.asarray(problem.c_phase2)
     candidate_mask = jnp.asarray(problem.candidate_mask)
 
-    state = _init_state(problem, cfg)
+    warm_started = False
+    cold_basis = problem.initial_basis.copy()
+    if warm_start_basis is not None:
+        assert len(warm_start_basis) == problem.m_real
+        warm = cold_basis.copy()
+        warm[: problem.m_real] = np.asarray(warm_start_basis, dtype=np.int32)
+        problem.initial_basis = warm
+        state = _init_state(problem, cfg)
+        state, residual = _refactor_state(state, A, b, c2, cfg, stats)
+        xB = np.asarray(state.xB)
+        if (
+            np.isfinite(residual)
+            and residual < 1e-6
+            and float(xB.min()) > -1e-7
+        ):
+            warm_started = True
+        else:
+            # Infeasible or singular warm basis: cold start.
+            problem.initial_basis = cold_basis
+
+    if not warm_started:
+        state = _init_state(problem, cfg)
 
     # --- phase 1 (skipped when slack pivots cover every row; reference:
     # FullInitialBasis specialization, two_phase/mod.rs:80-109) ---
-    needs_phase1 = bool(
+    needs_phase1 = not warm_started and bool(
         np.any(problem.initial_basis[: problem.m_real] >= problem.art_offset)
     )
     if needs_phase1:
