@@ -74,6 +74,12 @@ class SolverConfig:
     # Pad device array dimensions up to a multiple of this (TPU lane width).
     pad_to: int = 128
 
+    # Basis-inverse backend: "dense" (explicit inverse, product-form rank-1
+    # updates — the fast fused path on TPU) or "lu" (LU factors + eta ring —
+    # the robustness/cross-check backend; reference analog:
+    # BasisInverseRows vs LUDecomposition).
+    basis_inverse: str = "dense"
+
     # Run the exact rational certification pass after solving.
     certify: bool = True
     # If certification finds exact negative reduced costs, run exact cleanup
@@ -95,6 +101,8 @@ class SolverConfig:
             raise ValueError(f"unsupported dtype {self.dtype!r}")
         if self.scan_dtype not in ("float32", "bfloat16", "same"):
             raise ValueError(f"unsupported scan_dtype {self.scan_dtype!r}")
+        if self.basis_inverse not in ("dense", "lu"):
+            raise ValueError(f"unsupported basis_inverse {self.basis_inverse!r}")
         if self.pricing not in ("dantzig", "steepest", "first", "first_memory"):
             raise ValueError(f"unsupported pricing rule {self.pricing!r}")
         if self.dtype == "float64":

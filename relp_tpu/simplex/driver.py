@@ -57,54 +57,9 @@ def _np_dtype(cfg: SolverConfig):
     return np.float64 if cfg.dtype == "float64" else np.float32
 
 
-def _init_state(problem: DeviceProblem, cfg: SolverConfig) -> SimplexState:
-    import jax.numpy as jnp
-
-    dtype = _np_dtype(cfg)
-    M, N = problem.M, problem.N
-    basis = problem.initial_basis
-    in_basis = np.zeros(N, dtype=bool)
-    in_basis[basis] = True
-    xB = problem.b.astype(dtype)  # initial basis matrix is the identity
-    cB = problem.c_phase1[basis]
-    pi = cB.copy()  # pi = cB @ I
-    obj = float(cB @ xB)
-    gamma = np.ones(N, dtype=dtype)
-
-    return SimplexState(
-        Binv=jnp.eye(M, dtype=dtype),
-        basis=jnp.asarray(basis, dtype=jnp.int32),
-        xB=jnp.asarray(xB),
-        pi=jnp.asarray(pi),
-        obj=jnp.asarray(obj, dtype=dtype),
-        in_basis=jnp.asarray(in_basis),
-        gamma=jnp.asarray(gamma),
-        iteration=jnp.zeros((), jnp.int32),
-        status=jnp.asarray(RUNNING, jnp.int32),
-        degen_count=jnp.zeros((), jnp.int32),
-        inner=jnp.zeros((), jnp.int32),
-    )
-
-
-def _refactor_state(
-    state: SimplexState, A, b, c, cfg: SolverConfig, stats: SolveStats
-) -> Tuple[SimplexState, float]:
-    import jax.numpy as jnp
-
-    newton = 3 if cfg.dtype == "float64" else 1
-    Binv, xB, pi, obj, residual = kernels.refactorize(
-        A, b, c, state.basis, newton_steps=newton
-    )
-    stats.refactorizations += 1
-    # Clamp roundoff-level negatives (standard float-simplex practice; the
-    # exact certifier re-checks feasibility at the end).
-    xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
-    state = state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj)
-    return state, float(residual)
-
-
 def _run_phase(
-    state: SimplexState,
+    engine,
+    state,
     problem: DeviceProblem,
     A_scan,
     A_full,
@@ -113,7 +68,7 @@ def _run_phase(
     candidate_mask,
     cfg: SolverConfig,
     stats: SolveStats,
-) -> SimplexState:
+):
     """Run chunks until the phase terminates.
 
     With mixed-precision scans, an OPTIMAL verdict from the low-precision
@@ -125,9 +80,7 @@ def _run_phase(
     pricing = _PRICING_CODES[cfg.pricing]
     mixed = A_scan is not A_full
     if pricing == PRICE_STEEPEST:
-        state = state._replace(
-            gamma=kernels.recompute_gamma(state.Binv, A_scan, state.in_basis)
-        )
+        state = engine.recompute_gamma(state, A_scan)
 
     bland_mode = False
     polishing = False
@@ -138,17 +91,8 @@ def _run_phase(
     for _ in range(max_chunks):
         mode = PRICE_BLAND if bland_mode else pricing
         scan = A_full if polishing else A_scan
-        state = kernels.run_chunk(
-            state,
-            scan,
-            A_full,
-            c,
-            candidate_mask,
-            pricing=mode,
-            chunk=cfg.chunk_size,
-            opt_tol=cfg.opt_tol,
-            pivot_tol=cfg.pivot_tol,
-            degen_tol=cfg.feas_tol,
+        state = engine.run_chunk(
+            state, scan, A_full, c, candidate_mask, mode, cfg
         )
         stats.chunks += 1
         status = int(state.status)
@@ -170,16 +114,12 @@ def _run_phase(
         if status == OPTIMAL and mixed and not polishing:
             # Low-precision scans said optimal; continue at full precision.
             polishing = True
-            state, residual = _refactor_state(state, A_full, b, c, cfg, stats)
+            state, residual = engine.refactor(state, A_full, b, c, cfg, stats)
             if not np.isfinite(residual) or residual > 1e-4:
                 state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
                 break
             if pricing == PRICE_STEEPEST:
-                state = state._replace(
-                    gamma=kernels.recompute_gamma(
-                        state.Binv, A_full, state.in_basis
-                    )
-                )
+                state = engine.recompute_gamma(state, A_full)
             state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
             continue
         if status != RUNNING:
@@ -189,18 +129,18 @@ def _run_phase(
                 bland_mode = False
             break
 
-        if int(state.degen_count) >= cfg.bland_threshold:
+        if getattr(state, "degen_count", None) is not None and int(
+            getattr(state, "degen_count")
+        ) >= cfg.bland_threshold:
             bland_mode = True
 
-        state, residual = _refactor_state(state, A_full, b, c, cfg, stats)
+        state, residual = engine.refactor(state, A_full, b, c, cfg, stats)
         if not np.isfinite(residual) or residual > 1e-4:
             state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
             break
         if pricing == PRICE_STEEPEST:
             # Refresh drifted gamma weights at refactorization points.
-            state = state._replace(
-                gamma=kernels.recompute_gamma(state.Binv, scan, state.in_basis)
-            )
+            state = engine.recompute_gamma(state, scan)
         if int(state.iteration) >= cfg.max_iterations:
             break
 
@@ -208,12 +148,13 @@ def _run_phase(
 
 
 def _drive_out_artificials(
-    state: SimplexState,
+    engine,
+    state,
     problem: DeviceProblem,
     A,
     c,
     cfg: SolverConfig,
-) -> Tuple[SimplexState, List[int]]:
+):
     """Pivot zero-level artificials out of the basis; return redundant rows
     (reference: remove_artificial_basis_variables, phase_one.rs:232-278)."""
     basis = np.asarray(state.basis)
@@ -222,7 +163,7 @@ def _drive_out_artificials(
     ]
     redundant: List[int] = []
     for r in artificial_rows:
-        row = np.asarray(kernels.tableau_row(state.Binv, A, r))
+        row = engine.tableau_row(state, A, r)
         in_basis = np.asarray(state.in_basis)
         candidates = np.where(
             (~in_basis[: problem.n_real])
@@ -230,7 +171,7 @@ def _drive_out_artificials(
         )[0]
         if candidates.size:
             q = int(candidates[np.argmax(np.abs(row[candidates]))])
-            state = kernels.forced_pivot(state, A, c, q, r)
+            state = engine.forced_pivot(state, A, c, q, r)
         else:
             redundant.append(r)
     return state, redundant
@@ -278,7 +219,10 @@ def _solve_relaxation_once(
 ) -> OptimizationResult:
     import jax.numpy as jnp
 
+    from relp_tpu.simplex.engine import make_engine
+
     cfg = config or default_config()
+    engine = make_engine(cfg)
     stats = SolveStats()
     t_start = time.time()
     dtype = _np_dtype(cfg)
@@ -303,8 +247,8 @@ def _solve_relaxation_once(
         warm = cold_basis.copy()
         warm[: problem.m_real] = np.asarray(warm_start_basis, dtype=np.int32)
         problem.initial_basis = warm
-        state = _init_state(problem, cfg)
-        state, residual = _refactor_state(state, A, b, c2, cfg, stats)
+        state = engine.init_state(problem, cfg)
+        state, residual = engine.refactor(state, A, b, c2, cfg, stats)
         xB = np.asarray(state.xB)
         if (
             np.isfinite(residual)
@@ -317,7 +261,7 @@ def _solve_relaxation_once(
             problem.initial_basis = cold_basis
 
     if not warm_started:
-        state = _init_state(problem, cfg)
+        state = engine.init_state(problem, cfg)
 
     # --- phase 1 (skipped when slack pivots cover every row; reference:
     # FullInitialBasis specialization, two_phase/mod.rs:80-109) ---
@@ -326,7 +270,7 @@ def _solve_relaxation_once(
     )
     if needs_phase1:
         state = _run_phase(
-            state, problem, A_scan, A, b, c1, candidate_mask, cfg, stats
+            engine, state, problem, A_scan, A, b, c1, candidate_mask, cfg, stats
         )
         stats.phase1_iterations = int(state.iteration)
         status = int(state.status)
@@ -339,7 +283,12 @@ def _solve_relaxation_once(
         if float(state.obj) > cfg.phase1_tol:
             return _finish(cfg, stats, t_start, SolveStatus.INFEASIBLE)
 
-        state, redundant = _drive_out_artificials(state, problem, A, c1, cfg)
+        # Fresh factorization before zero-level drive-out (the LU engine's
+        # eta ring may be full at phase end).
+        state, _residual = engine.refactor(state, A, b, c1, cfg, stats)
+        state, redundant = _drive_out_artificials(
+            engine, state, problem, A, c1, cfg
+        )
         if redundant:
             # Rank repair: rebuild without the redundant rows.
             stats.removed_rows = redundant
@@ -363,18 +312,18 @@ def _solve_relaxation_once(
             c1 = jnp.asarray(problem.c_phase1)
             c2 = jnp.asarray(problem.c_phase2)
             candidate_mask = jnp.asarray(problem.candidate_mask)
-            state = _init_state(problem, cfg)
+            state = engine.init_state(problem, cfg)
 
         # Phase transition: real costs, fresh factorization
         # (reference: from_artificial, non_artificial.rs:151-172).
-        state, residual = _refactor_state(state, A, b, c2, cfg, stats)
+        state, residual = engine.refactor(state, A, b, c2, cfg, stats)
         if not np.isfinite(residual) or residual > 1e-4:
             return _finish(cfg, stats, t_start, SolveStatus.NUMERICAL_ERROR)
         state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
 
     # --- phase 2 ---
     state = _run_phase(
-        state, problem, A_scan, A, b, c2, candidate_mask, cfg, stats
+        engine, state, problem, A_scan, A, b, c2, candidate_mask, cfg, stats
     )
     stats.iterations = int(state.iteration)
     status = int(state.status)

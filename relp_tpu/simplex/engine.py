@@ -1,0 +1,245 @@
+"""Pluggable basis-inverse engines.
+
+The reference parameterizes its solver over the ``BasisInverse`` backend
+(explicit rows vs LU + eta files, inverse_maintenance/carry).  Here the same
+choice is a runtime engine object consumed by the driver:
+
+* :class:`DenseEngine` — explicit dense inverse with rank-1 product-form
+  updates (analog of BasisInverseRows; on TPU also the *fast* path: one
+  matvec FTRAN, fully fused iteration).
+* :class:`LUEngine` — LU factors + eta ring (analog of LUDecomposition +
+  EtaFile; triangular solves are latency-bound on TPU, so this is the
+  robustness/cross-check backend).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from relp_tpu.config import SolverConfig
+from relp_tpu.simplex import kernels
+from relp_tpu.simplex import lu as lu_mod
+from relp_tpu.simplex.lowering import DeviceProblem
+from relp_tpu.simplex.result import SolveStats
+from relp_tpu.simplex.state import RUNNING, SimplexState
+
+
+def _np_dtype(cfg: SolverConfig):
+    return np.float64 if cfg.dtype == "float64" else np.float32
+
+
+class DenseEngine:
+    name = "dense"
+
+    def init_state(self, problem: DeviceProblem, cfg: SolverConfig) -> SimplexState:
+        import jax.numpy as jnp
+
+        dtype = _np_dtype(cfg)
+        M, N = problem.M, problem.N
+        basis = problem.initial_basis
+        in_basis = np.zeros(N, dtype=bool)
+        in_basis[basis] = True
+        xB = problem.b.astype(dtype)  # initial basis matrix is the identity
+        cB = problem.c_phase1[basis]
+        return SimplexState(
+            Binv=jnp.eye(M, dtype=dtype),
+            basis=jnp.asarray(basis, dtype=jnp.int32),
+            xB=jnp.asarray(xB),
+            pi=jnp.asarray(cB.copy()),
+            obj=jnp.asarray(float(cB @ xB), dtype=dtype),
+            in_basis=jnp.asarray(in_basis),
+            gamma=jnp.ones(N, dtype=dtype),
+            iteration=jnp.zeros((), jnp.int32),
+            status=jnp.asarray(RUNNING, jnp.int32),
+            degen_count=jnp.zeros((), jnp.int32),
+            inner=jnp.zeros((), jnp.int32),
+        )
+
+    def refactor(
+        self, state, A, b, c, cfg: SolverConfig, stats: SolveStats
+    ) -> Tuple[SimplexState, float]:
+        import jax.numpy as jnp
+
+        newton = 3 if cfg.dtype == "float64" else 1
+        Binv, xB, pi, obj, residual = kernels.refactorize(
+            A, b, c, state.basis, newton_steps=newton
+        )
+        stats.refactorizations += 1
+        xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
+        return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), float(residual)
+
+    def run_chunk(self, state, A_scan, A_full, c, candidate_mask, mode, cfg):
+        return kernels.run_chunk(
+            state,
+            A_scan,
+            A_full,
+            c,
+            candidate_mask,
+            pricing=mode,
+            chunk=cfg.chunk_size,
+            opt_tol=cfg.opt_tol,
+            pivot_tol=cfg.pivot_tol,
+            degen_tol=cfg.feas_tol,
+        )
+
+    def recompute_gamma(self, state, A_scan):
+        return state._replace(
+            gamma=kernels.recompute_gamma(state.Binv, A_scan, state.in_basis)
+        )
+
+    def tableau_row(self, state, A, r) -> np.ndarray:
+        return np.asarray(kernels.tableau_row(state.Binv, A, r))
+
+    def forced_pivot(self, state, A, c, q, r):
+        return kernels.forced_pivot(state, A, c, q, r)
+
+
+class LUEngine:
+    name = "lu"
+
+    def init_state(self, problem: DeviceProblem, cfg: SolverConfig):
+        import jax.numpy as jnp
+
+        dtype = _np_dtype(cfg)
+        M, N = problem.M, problem.N
+        basis = problem.initial_basis
+        in_basis = np.zeros(N, dtype=bool)
+        in_basis[basis] = True
+        A = jnp.asarray(problem.A)
+        b = jnp.asarray(problem.b)
+        c1 = jnp.asarray(problem.c_phase1)
+        lu, piv, B0, eta_vals, eta_rows, xB, pi, obj, _residual = (
+            lu_mod.lu_refactorize(
+                A, b, c1, jnp.asarray(basis, jnp.int32),
+                eta_capacity=cfg.refactor_period,
+            )
+        )
+        return lu_mod.LUState(
+            lu=lu,
+            piv=piv,
+            B0=B0,
+            eta_vals=eta_vals,
+            eta_rows=eta_rows,
+            eta_count=jnp.zeros((), jnp.int32),
+            basis=jnp.asarray(basis, jnp.int32),
+            xB=xB,
+            pi=pi,
+            obj=obj,
+            in_basis=jnp.asarray(in_basis),
+            gamma=jnp.ones(N, dtype=dtype),
+            iteration=jnp.zeros((), jnp.int32),
+            status=jnp.asarray(RUNNING, jnp.int32),
+            inner=jnp.zeros((), jnp.int32),
+        )
+
+    def refactor(self, state, A, b, c, cfg: SolverConfig, stats: SolveStats):
+        import jax.numpy as jnp
+
+        lu, piv, B0, eta_vals, eta_rows, xB, pi, obj, residual = (
+            lu_mod.lu_refactorize(
+                A, b, c, state.basis, eta_capacity=cfg.refactor_period
+            )
+        )
+        stats.refactorizations += 1
+        xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
+        state = state._replace(
+            lu=lu,
+            piv=piv,
+            B0=B0,
+            eta_vals=eta_vals,
+            eta_rows=eta_rows,
+            eta_count=jnp.zeros((), jnp.int32),
+            xB=xB,
+            pi=pi,
+            obj=obj,
+        )
+        return state, float(residual)
+
+    def run_chunk(self, state, A_scan, A_full, c, candidate_mask, mode, cfg):
+        return lu_mod.lu_run_chunk(
+            state,
+            A_scan,
+            A_full,
+            c,
+            candidate_mask,
+            pricing=mode,
+            chunk=cfg.chunk_size,
+            opt_tol=cfg.opt_tol,
+            pivot_tol=cfg.pivot_tol,
+            degen_tol=cfg.feas_tol,
+        )
+
+    def recompute_gamma(self, state, A_scan):
+        import jax.numpy as jnp
+
+        # gamma_j = 1 + ||B^-1 a_j||^2 via columns of the inverse applied to
+        # A: with the eta ring empty right after refactorization this is a
+        # pair of triangular solves against the whole scan matrix.
+        from jax.scipy.linalg import lu_solve
+
+        W = lu_solve(
+            (state.lu, state.piv), A_scan.astype(jnp.float32), trans=0
+        )
+        gamma = 1.0 + jnp.sum(W * W, axis=0).astype(state.gamma.dtype)
+        return state._replace(
+            gamma=jnp.where(state.in_basis, 1.0, gamma)
+        )
+
+    def tableau_row(self, state, A, r) -> np.ndarray:
+        import jax.numpy as jnp
+
+        M = A.shape[0]
+        e_r = jnp.zeros((M,), dtype=A.dtype).at[r].set(1.0)
+        rho = lu_mod.lu_btran(state, e_r)
+        return np.asarray(rho @ A)
+
+    def forced_pivot(self, state, A, c, q, r):
+        return _lu_forced_pivot(state, A, c, q, r)
+
+
+def _lu_forced_pivot(state, A, c, q, r):
+    """Unconditional pivot for the LU engine (zero-level artificial
+    drive-out): append the eta and update bookkeeping."""
+    import jax
+    import jax.numpy as jnp
+
+    q = jnp.asarray(q, jnp.int32)
+    r = jnp.asarray(r, jnp.int32)
+    a_q = A[:, q]
+    w = lu_mod.lu_ftran(state, a_q)
+    d_q = c[q] - state.pi @ a_q
+    w_r = w[r]
+    t = state.xB[r] / w_r
+    xB_new = state.xB - t * w
+    xB_new = xB_new.at[r].set(t)
+    leaving = state.basis[r]
+    basis_new = state.basis.at[r].set(q)
+    in_basis_new = state.in_basis.at[leaving].set(False).at[q].set(True)
+    k = state.eta_count
+    eta_vals = jax.lax.dynamic_update_index_in_dim(state.eta_vals, w, k, axis=0)
+    eta_rows = jax.lax.dynamic_update_index_in_dim(state.eta_rows, r, k, axis=0)
+    state = state._replace(
+        eta_vals=eta_vals, eta_rows=eta_rows, eta_count=k + 1
+    )
+    M = A.shape[0]
+    e_r = jnp.zeros((M,), dtype=A.dtype).at[r].set(1.0)
+    rho_new = lu_mod.lu_btran(state, e_r)
+    pi_new = state.pi + d_q * rho_new
+    cB = c[basis_new]
+    obj_new = cB @ xB_new
+    return state._replace(
+        basis=basis_new,
+        xB=xB_new,
+        pi=pi_new,
+        obj=obj_new,
+        in_basis=in_basis_new,
+        iteration=state.iteration + 1,
+    )
+
+
+def make_engine(cfg: SolverConfig):
+    if cfg.basis_inverse == "lu":
+        return LUEngine()
+    return DenseEngine()
