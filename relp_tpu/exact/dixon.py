@@ -33,8 +33,58 @@ class ExactSingularError(Exception):
     """The matrix is singular (exactly)."""
 
 
+_MODP_LIB = None
+_MODP_CHECKED = False
+
+
+def _load_modp():
+    """Native mod-p kernels (native/modp.cpp) when built."""
+    global _MODP_LIB, _MODP_CHECKED
+    if _MODP_CHECKED:
+        return _MODP_LIB
+    _MODP_CHECKED = True
+    import ctypes
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "native",
+        "libmodp.so",
+    )
+    if os.path.exists(path):
+        lib = ctypes.CDLL(path)
+        lib.modp_invert.restype = ctypes.c_int32
+        lib.modp_invert.argtypes = [
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64,
+            ctypes.c_int64,
+        ]
+        _MODP_LIB = lib
+    return _MODP_LIB
+
+
 def _modinv_matrix(A_mod: np.ndarray, p: int) -> Optional[np.ndarray]:
-    """Inverse of A mod p by Gauss-Jordan; None if singular mod p."""
+    """Inverse of A mod p; native C++ Gauss-Jordan when available."""
+    import ctypes
+
+    lib = _load_modp()
+    m = A_mod.shape[0]
+    if lib is not None and m > 0:
+        a = np.ascontiguousarray(A_mod % p, dtype=np.int64)
+        out = np.zeros((m, m), dtype=np.int64)
+        status = lib.modp_invert(
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            m,
+            p,
+        )
+        return out if status == 0 else None
+    return _modinv_matrix_numpy(A_mod, p)
+
+
+def _modinv_matrix_numpy(A_mod: np.ndarray, p: int) -> Optional[np.ndarray]:
+    """Pure-numpy fallback: Gauss-Jordan with outer-product updates."""
     m = A_mod.shape[0]
     M = A_mod % p
     inv = np.eye(m, dtype=np.int64)

@@ -21,11 +21,15 @@ from relp_tpu.io.errors import (
 from relp_tpu.io.mps import MPS, parse_fixed, parse_free
 
 
-def import_file(path: str, *, fixed: bool | None = None) -> MPS:
+def import_file(
+    path: str, *, fixed: bool | None = None, native: bool | None = None
+) -> MPS:
     """Read an MPS/SIF file (reference: io::import, io/mod.rs:32-61).
 
     ``fixed=None`` chooses by extension: ``.SIF`` (netlib) uses the
-    fixed-field parser, ``.mps`` the free parser.
+    fixed-field parser, ``.mps`` the free parser.  ``native=None`` uses the
+    C++ parser when built (native/libmps_parser.so), falling back to the
+    pure-Python one.
     """
     _, ext = os.path.splitext(path)
     ext = ext.lstrip(".")
@@ -40,6 +44,13 @@ def import_file(path: str, *, fixed: bool | None = None) -> MPS:
         raise IOError_(str(exc))
     if fixed is None:
         fixed = ext.lower() == "sif"
+
+    from relp_tpu.io.native import native_available, parse_native
+
+    if native is None:
+        native = native_available()
+    if native:
+        return parse_native(text, fixed)
     return parse_fixed(text) if fixed else parse_free(text)
 
 

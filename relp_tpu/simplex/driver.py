@@ -68,6 +68,7 @@ def _run_phase(
     candidate_mask,
     cfg: SolverConfig,
     stats: SolveStats,
+    stop_at_zero: bool = False,
 ):
     """Run chunks until the phase terminates.
 
@@ -87,15 +88,33 @@ def _run_phase(
     max_chunks = max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2
     last_obj: Optional[float] = None
     stall_chunks = 0
+    # EXPAND-style anti-degeneracy: when even Bland stalls, shift the basic
+    # values by a tiny deterministic positive jitter so ratio tests become
+    # nondegenerate; the shift is removed (refactor against the true b) once
+    # the perturbed walk terminates, then polishing resumes.
+    perturbed = False
+    perturb_episodes = 0
+
+    def _jitter(state):
+        import jax.numpy as jnp
+
+        M = state.xB.shape[0]
+        idx = np.arange(M)
+        eps = 1e-7 * (1.0 + ((idx * 37) % 19) / 19.0)
+        return state._replace(xB=state.xB + jnp.asarray(eps, state.xB.dtype))
 
     for _ in range(max_chunks):
         mode = PRICE_BLAND if bland_mode else pricing
         scan = A_full if polishing else A_scan
         state = engine.run_chunk(
-            state, scan, A_full, c, candidate_mask, mode, cfg
+            state, scan, A_full, c, candidate_mask, mode, cfg,
+            stop_at_zero=stop_at_zero,
         )
         stats.chunks += 1
         status = int(state.status)
+        if stop_at_zero and float(state.obj) <= 1e-9:
+            # Phase 1 reached zero artificial cost: feasible.
+            break
 
         # Degenerate-vertex stall detection: tolerance-sized Harris steps can
         # keep pivoting without objective progress; a stalled objective over
@@ -111,6 +130,28 @@ def _run_phase(
             stall_chunks += 1
             if stall_chunks >= 2:
                 bland_mode = True
+            if stall_chunks >= 4 and not perturbed and perturb_episodes < 3:
+                # Even Bland is stuck on a massively degenerate vertex:
+                # perturb the basic values and walk the nondegenerate problem.
+                perturbed = True
+                perturb_episodes += 1
+                bland_mode = False
+                stall_chunks = 0
+                state = _jitter(state)
+                continue
+        if status != RUNNING and perturbed:
+            # The perturbed walk terminated; remove the shift and polish on
+            # the true right-hand side.
+            perturbed = False
+            state, residual = engine.refactor(state, A_full, b, c, cfg, stats)
+            if not np.isfinite(residual) or residual > 1e-4:
+                state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
+                break
+            if pricing == PRICE_STEEPEST:
+                state = engine.recompute_gamma(state, scan)
+            state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
+            last_obj = None
+            continue
         if status == OPTIMAL and mixed and not polishing:
             # Low-precision scans said optimal; continue at full precision.
             polishing = True
@@ -138,6 +179,8 @@ def _run_phase(
         if not np.isfinite(residual) or residual > 1e-4:
             state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
             break
+        if perturbed:
+            state = _jitter(state)  # refactor recomputed xB from the true b
         if pricing == PRICE_STEEPEST:
             # Refresh drifted gamma weights at refactorization points.
             state = engine.recompute_gamma(state, scan)
@@ -270,17 +313,19 @@ def _solve_relaxation_once(
     )
     if needs_phase1:
         state = _run_phase(
-            engine, state, problem, A_scan, A, b, c1, candidate_mask, cfg, stats
+            engine, state, problem, A_scan, A, b, c1, candidate_mask, cfg,
+            stats, stop_at_zero=True,
         )
         stats.phase1_iterations = int(state.iteration)
         status = int(state.status)
+        feasible = float(state.obj) <= cfg.phase1_tol
         if status == SINGULAR:
             return _finish(cfg, stats, t_start, SolveStatus.NUMERICAL_ERROR)
-        if status == RUNNING:
+        if status == RUNNING and not feasible:
             return _finish(cfg, stats, t_start, SolveStatus.ITERATION_LIMIT)
         if status == UNBOUNDED:
             raise AssertionError("phase-1 objective cannot be unbounded")
-        if float(state.obj) > cfg.phase1_tol:
+        if not feasible:
             return _finish(cfg, stats, t_start, SolveStatus.INFEASIBLE)
 
         # Fresh factorization before zero-level drive-out (the LU engine's

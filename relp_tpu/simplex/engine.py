@@ -67,10 +67,33 @@ class DenseEngine:
             A, b, c, state.basis, newton_steps=newton
         )
         stats.refactorizations += 1
+        res = float(residual)
+        if not np.isfinite(res) or res > 1e-6:
+            # The f32 MXU inverse + Newton refinement broke down on an
+            # ill-conditioned basis; fall back to host LAPACK in f64
+            # (handles condition numbers up to ~1e15).
+            basis = np.asarray(state.basis)
+            B = np.asarray(A)[:, basis]
+            try:
+                Binv_h = np.linalg.inv(B)
+            except np.linalg.LinAlgError:
+                return state, float("inf")
+            res = float(np.max(np.abs(B @ Binv_h - np.eye(B.shape[0]))))
+            b_h = np.asarray(b)
+            c_h = np.asarray(c)
+            xB_h = Binv_h @ b_h
+            cB = c_h[basis]
+            Binv = jnp.asarray(Binv_h)
+            xB = jnp.asarray(xB_h)
+            pi = jnp.asarray(cB @ Binv_h)
+            obj = jnp.asarray(float(cB @ xB_h), dtype=A.dtype)
         xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
-        return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), float(residual)
+        return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), res
 
-    def run_chunk(self, state, A_scan, A_full, c, candidate_mask, mode, cfg):
+    def run_chunk(
+        self, state, A_scan, A_full, c, candidate_mask, mode, cfg,
+        stop_at_zero=False,
+    ):
         return kernels.run_chunk(
             state,
             A_scan,
@@ -82,6 +105,7 @@ class DenseEngine:
             opt_tol=cfg.opt_tol,
             pivot_tol=cfg.pivot_tol,
             degen_tol=cfg.feas_tol,
+            stop_at_zero=stop_at_zero,
         )
 
     def recompute_gamma(self, state, A_scan):
@@ -157,7 +181,10 @@ class LUEngine:
         )
         return state, float(residual)
 
-    def run_chunk(self, state, A_scan, A_full, c, candidate_mask, mode, cfg):
+    def run_chunk(
+        self, state, A_scan, A_full, c, candidate_mask, mode, cfg,
+        stop_at_zero=False,
+    ):
         return lu_mod.lu_run_chunk(
             state,
             A_scan,
@@ -169,6 +196,7 @@ class LUEngine:
             opt_tol=cfg.opt_tol,
             pivot_tol=cfg.pivot_tol,
             degen_tol=cfg.feas_tol,
+            stop_at_zero=stop_at_zero,
         )
 
     def recompute_gamma(self, state, A_scan):

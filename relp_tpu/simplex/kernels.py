@@ -212,7 +212,10 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol")
+    jax.jit,
+    static_argnames=(
+        "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero"
+    ),
 )
 def run_chunk(
     state: SimplexState,
@@ -226,18 +229,25 @@ def run_chunk(
     opt_tol: float,
     pivot_tol: float,
     degen_tol: float,
+    stop_at_zero: bool = False,
 ) -> SimplexState:
     """Run up to ``chunk`` pivots on device without host round-trips.
 
     ``A_scan`` may be a lower-precision copy of ``A_full`` (mixed-precision
     pricing); pass the same array twice for full-precision behavior.
+    ``stop_at_zero`` ends the loop once the objective is (near) zero — the
+    phase-1 termination rule: the artificial cost cannot go below zero, so
+    zero means feasible (reference: phase_one.rs on zero artificial cost).
     """
     iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
     state = state._replace(inner=jnp.zeros((), jnp.int32))
     c_scan = c.astype(A_scan.dtype)
 
     def cond(s: SimplexState):
-        return (s.status == RUNNING) & (s.inner < chunk)
+        running = (s.status == RUNNING) & (s.inner < chunk)
+        if stop_at_zero:
+            running = running & (s.obj > 1e-9)
+        return running
 
     def body(s: SimplexState):
         return iteration(s, A_scan, A_full, c, c_scan, candidate_mask)

@@ -258,7 +258,10 @@ def make_lu_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol")
+    jax.jit,
+    static_argnames=(
+        "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero"
+    ),
 )
 def lu_run_chunk(
     state: LUState,
@@ -272,6 +275,7 @@ def lu_run_chunk(
     opt_tol: float,
     pivot_tol: float,
     degen_tol: float,
+    stop_at_zero: bool = False,
 ) -> LUState:
     """Run pivots until the eta ring fills, the chunk budget is spent, or the
     phase terminates (the ring capacity enforces the refactorization cadence,
@@ -282,11 +286,14 @@ def lu_run_chunk(
     c_scan = c.astype(A_scan.dtype)
 
     def cond(s: LUState):
-        return (
+        running = (
             (s.status == RUNNING)
             & (s.inner < chunk)
             & (s.eta_count < capacity)
         )
+        if stop_at_zero:
+            running = running & (s.obj > 1e-9)
+        return running
 
     def body(s: LUState):
         return iteration(s, A_scan, A_full, c, c_scan, candidate_mask)

@@ -9,7 +9,10 @@ build aims to clear.
 
 # name -> (expected objective, abs tolerance, ignored-in-reference?)
 NETLIB_EXPECTED = {
-    "25FV47": (5.5018459e03, 1e-5, True),
+    # The reference's (never-run, ignored) test uses Gurobi's rounded
+    # 5.5018459e3; Koch's exact value is 0.55018458882867417e4 and our
+    # certified exact answer matches it.
+    "25FV47": (5501.8458882867417, 1e-5, True),
     "80BAU3B": (9.872241924e05, 1e-5, True),
     "ADLITTLE": (2.254949632e05, 1e-3, False),
     "AFIRO": (-464.75314, 1e-4, False),
@@ -34,7 +37,9 @@ NETLIB_EXPECTED = {
     "GREENBEA": (-0.72555248129845987457557870574845e8, 1e-2, True),
     "GREENBEB": (-0.43022602612065867539213672544432e7, 1e-3, True),
     "GFRD-PNC": (0.69022359995488088295415596232193e7, 1e-3, False),
-    "GROW7": (0.47787811814711502616766956242865e8, 1e-1, True),
+    # The reference's (ignored) test records Koch's magnitude with a flipped
+    # sign; canonical netlib GROW7 minimizes to the negative value.
+    "GROW7": (-0.47787811814711502616766956242865e8, 1e-1, True),
     "ISRAEL": (-0.89664482186304572966200464196045e6, 1e-3, False),
     "KB2": (-1.749900130e03, 1e-7, False),
     "LOTFI": (-0.2526470606188e2, 1e-8, False),

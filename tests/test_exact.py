@@ -1,0 +1,113 @@
+"""Exact solver (Dixon lifting) tests — the rational-arithmetic oracle layer
+(reference analog: relp-num exact arithmetic; random-matrix identity tests
+mirror decomposition/mod.rs:454-651)."""
+
+import random
+from fractions import Fraction
+
+import pytest
+
+from relp_tpu.exact.dixon import (
+    ExactSingularError,
+    _modinv_matrix,
+    _modinv_matrix_numpy,
+    exact_solve,
+    exact_solve_transpose,
+)
+
+import numpy as np
+
+F = Fraction
+
+
+def _random_sparse_columns(rng, m, density=0.4, denominator_pool=(1, 2, 3, 7)):
+    columns = []
+    for j in range(m):
+        col = []
+        for i in range(m):
+            if rng.random() < density or i == j:
+                num = rng.randint(-9, 9)
+                if num == 0:
+                    num = 1
+                den = rng.choice(denominator_pool)
+                col.append((i, F(num, den)))
+        columns.append(col)
+    return columns
+
+
+def _naive_solve(columns, b):
+    """Fraction Gaussian elimination oracle."""
+    m = len(b)
+    A = [[F(0)] * m for _ in range(m)]
+    for j, col in enumerate(columns):
+        for i, v in col:
+            A[i][j] = v
+    x = list(b)
+    # forward elimination with partial pivoting by nonzero
+    aug = [row[:] + [x[i]] for i, row in enumerate(A)]
+    for k in range(m):
+        piv = next((i for i in range(k, m) if aug[i][k] != 0), None)
+        if piv is None:
+            raise ZeroDivisionError("singular")
+        aug[k], aug[piv] = aug[piv], aug[k]
+        inv = 1 / aug[k][k]
+        aug[k] = [v * inv for v in aug[k]]
+        for i in range(m):
+            if i != k and aug[i][k] != 0:
+                f = aug[i][k]
+                aug[i] = [a - f * b_ for a, b_ in zip(aug[i], aug[k])]
+    return [aug[i][m] for i in range(m)]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_exact_solve_random(seed):
+    rng = random.Random(seed)
+    m = 12
+    columns = _random_sparse_columns(rng, m)
+    b = [F(rng.randint(-20, 20), rng.choice((1, 2, 5))) for _ in range(m)]
+    x = exact_solve(columns, b)
+    assert x == _naive_solve(columns, b)
+
+
+def test_exact_solve_transpose():
+    rng = random.Random(7)
+    m = 10
+    columns = _random_sparse_columns(rng, m)
+    c = [F(rng.randint(-5, 5)) for _ in range(m)]
+    y = exact_solve_transpose(columns, c)
+    # Verify B^T y = c exactly.
+    for j, col in enumerate(columns):
+        total = sum((v * y[i] for i, v in col), F(0))
+        assert total == c[j]
+
+
+def test_exact_solve_singular():
+    columns = [[(0, F(1)), (1, F(1))], [(0, F(2)), (1, F(2))]]
+    with pytest.raises(ExactSingularError):
+        exact_solve(columns, [F(1), F(1)])
+
+
+def test_exact_solve_big_rationals():
+    """Entries engineered so the answer needs large numerators/denominators."""
+    rng = random.Random(11)
+    m = 8
+    columns = _random_sparse_columns(
+        rng, m, density=0.9, denominator_pool=(97, 89, 83, 101)
+    )
+    b = [F(rng.randint(1, 1000), 991) for _ in range(m)]
+    x = exact_solve(columns, b)
+    assert x == _naive_solve(columns, b)
+
+
+def test_modinv_native_matches_numpy():
+    rng = np.random.default_rng(5)
+    p = 1_000_003
+    m = 20
+    A = rng.integers(0, p, size=(m, m), dtype=np.int64)
+    native = _modinv_matrix(A.copy(), p)
+    ref = _modinv_matrix_numpy(A.copy(), p)
+    if native is None or ref is None:
+        assert native is None and ref is None
+        return
+    assert np.array_equal(native, ref)
+    assert np.array_equal((A @ native) % p, np.eye(m, dtype=np.int64) % p)
