@@ -24,11 +24,14 @@ def make_batch_state(states):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol"),
+    static_argnames=(
+        "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero"
+    ),
 )
 def batched_run_chunk(
     batch_state: SimplexState,
-    A,  # (B, M, N)
+    A_scan,  # (B, M, N), possibly lower precision
+    A_full,  # (B, M, N)
     c,  # (B, N)
     candidate_mask,  # (B, N)
     *,
@@ -37,22 +40,35 @@ def batched_run_chunk(
     opt_tol: float,
     pivot_tol: float,
     degen_tol: float,
+    stop_at_zero: bool = False,
 ) -> SimplexState:
-    """Advance every LP in the batch by up to ``chunk`` pivots."""
+    """Advance every LP in the batch by up to ``chunk`` pivots.
+
+    ``stop_at_zero`` freezes an LP (status -> OPTIMAL) once its objective
+    reaches zero — per-LP phase-1 termination.
+    """
+    from relp_tpu.simplex.state import OPTIMAL
+
     iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
     v_iter = jax.vmap(iteration, in_axes=(0, 0, 0, 0, 0, 0))
     batch_state = batch_state._replace(
         inner=jnp.zeros_like(batch_state.inner)
     )
-    c_scan = c
+    c_scan = c.astype(A_scan.dtype)
+
+    def active_mask(s):
+        active = s.status == RUNNING
+        if stop_at_zero:
+            active = active & (s.obj > 1e-9)
+        return active
 
     def cond(s: SimplexState):
-        return jnp.any((s.status == RUNNING) & (s.inner < chunk))
+        return jnp.any(active_mask(s) & (s.inner < chunk))
 
     def body(s: SimplexState):
-        new = v_iter(s, A, A, c, c_scan, candidate_mask)
+        new = v_iter(s, A_scan, A_full, c, c_scan, candidate_mask)
         # Freeze LPs that already terminated.
-        active = s.status == RUNNING
+        active = active_mask(s)
 
         def sel(n, o):
             extra = (1,) * (n.ndim - 1)

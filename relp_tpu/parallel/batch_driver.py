@@ -1,0 +1,218 @@
+"""Batched scenario solves — many LPs per chip in lockstep.
+
+The DP analog for LP solving (BASELINE config: "1024 perturbed Netlib
+instances vmapped per chip").  All providers are lowered to a common padded
+shape; phase 1 and phase 2 run as vmapped chunked loops with per-LP freezing;
+refactorization is vmapped.
+
+Scope (documented): artificials left basic at zero level after phase 1 are
+*not* driven out per-LP (they cannot re-enter and their values are checked
+at extraction); LPs that hit numerical trouble or keep nonzero artificials
+fall back to the single-LP driver, which has the full rank-repair and
+certification machinery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from relp_tpu.config import SolverConfig, default_config
+from relp_tpu.linalg.device import pad_to_multiple
+from relp_tpu.linalg.sparse import SparseVector
+from relp_tpu.parallel.batch import batched_run_chunk, make_batch_state
+from relp_tpu.providers.base import MatrixProvider
+from relp_tpu.simplex.driver import _PRICING_CODES
+from relp_tpu.simplex.engine import DenseEngine
+from relp_tpu.simplex.kernels import PRICE_STEEPEST
+from relp_tpu.simplex.lowering import lower_provider
+from relp_tpu.simplex.result import OptimizationResult, SolveStats, SolveStatus
+from relp_tpu.simplex.state import OPTIMAL, RUNNING, UNBOUNDED
+
+
+def solve_batch(
+    providers: Sequence[MatrixProvider],
+    config: Optional[SolverConfig] = None,
+    *,
+    certify: Optional[bool] = None,
+) -> List[OptimizationResult]:
+    """Solve a batch of LPs in lockstep on one device.
+
+    ``certify`` overrides the per-config exact-certification flag (defaults
+    to the config's; certification runs per LP on the host and dominates for
+    large batches).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = config or default_config()
+    if certify is None:
+        certify = cfg.certify
+    dtype = np.float64 if cfg.dtype == "float64" else np.float32
+    engine = DenseEngine()
+
+    # --- common-shape lowering ---
+    max_rows = max(p.nr_rows() for p in providers)
+    probe_M = pad_to_multiple(max(max_rows, 1), cfg.pad_to)
+    max_cols = max(p.nr_columns() + probe_M for p in providers)
+    problems = [
+        lower_provider(
+            p,
+            dtype=dtype,
+            pad_to=cfg.pad_to,
+            equilibrate=cfg.prescale,
+            min_rows=max_rows,
+            min_cols=max_cols,
+        )
+        for p in providers
+    ]
+    M, N = problems[0].M, problems[0].N
+    assert all(pr.A.shape == (M, N) for pr in problems)
+
+    A = jnp.asarray(np.stack([pr.A for pr in problems]))
+    A_scan = (
+        A.astype(jnp.dtype(cfg.scan_dtype))
+        if cfg.scan_dtype not in ("same", cfg.dtype)
+        else A
+    )
+    b = jnp.asarray(np.stack([pr.b for pr in problems]))
+    c1 = jnp.asarray(np.stack([pr.c_phase1 for pr in problems]))
+    c2 = jnp.asarray(np.stack([pr.c_phase2 for pr in problems]))
+    cand = jnp.asarray(np.stack([pr.candidate_mask for pr in problems]))
+
+    states = [engine.init_state(pr, cfg) for pr in problems]
+    batch = make_batch_state(states)
+
+    from relp_tpu.simplex import kernels
+
+    newton = 3 if cfg.dtype == "float64" else 1
+    v_refactor = jax.jit(
+        jax.vmap(
+            lambda A, b, c, basis: kernels.refactorize(
+                A, b, c, basis, newton_steps=newton
+            ),
+            in_axes=(0, 0, 0, 0),
+        )
+    )
+    v_gamma = jax.jit(jax.vmap(kernels.recompute_gamma, in_axes=(0, 0, 0)))
+
+    pricing = _PRICING_CODES[cfg.pricing]
+    kwargs = dict(
+        pricing=pricing,
+        chunk=cfg.chunk_size,
+        opt_tol=cfg.opt_tol,
+        pivot_tol=cfg.pivot_tol,
+        degen_tol=cfg.feas_tol,
+    )
+
+    def refactor(batch, c):
+        Binv, xB, pi, obj, residual = v_refactor(A, b, c, batch.basis)
+        xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
+        return batch._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), residual
+
+    def run_phase(batch, c, stop_at_zero):
+        if pricing == PRICE_STEEPEST:
+            batch = batch._replace(gamma=v_gamma(batch.Binv, A_scan, batch.in_basis))
+        max_chunks = max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2
+        for _ in range(max_chunks):
+            batch = batched_run_chunk(
+                batch, A_scan, A, c, cand, stop_at_zero=stop_at_zero, **kwargs
+            )
+            status = np.asarray(batch.status)
+            obj = np.asarray(batch.obj)
+            running = status == RUNNING
+            if stop_at_zero:
+                running = running & (obj > 1e-9)
+            if not running.any():
+                break
+            batch, _residual = refactor(batch, c)
+            if pricing == PRICE_STEEPEST:
+                batch = batch._replace(
+                    gamma=v_gamma(batch.Binv, A_scan, batch.in_basis)
+                )
+            if int(np.asarray(batch.iteration).max()) >= cfg.max_iterations:
+                break
+        return batch
+
+    t0 = time.time()
+    # Phase 1 for all (LPs with complete slack bases terminate immediately
+    # at zero objective).
+    batch = run_phase(batch, c1, stop_at_zero=True)
+    phase1_iters = np.asarray(batch.iteration).copy()
+
+    # Phase transition: real costs, reset status for feasible LPs.
+    feasible = np.asarray(batch.obj) <= cfg.phase1_tol
+    batch, _ = refactor(batch, c2)
+    status = np.where(feasible, RUNNING, np.asarray(batch.status))
+    batch = batch._replace(status=jnp.asarray(status.astype(np.int32)))
+
+    # Phase 2 + full-precision polish.
+    batch = run_phase(batch, c2, stop_at_zero=False)
+    if A_scan is not A:
+        status = np.asarray(batch.status)
+        polish = np.where(status == OPTIMAL, RUNNING, status)
+        batch = batch._replace(status=jnp.asarray(polish.astype(np.int32)))
+        batch, _ = refactor(batch, c2)
+        batch = batched_run_chunk(batch, A, A, c2, cand, **kwargs)
+
+    wall = time.time() - t0
+
+    # --- extraction ---
+    results: List[OptimizationResult] = []
+    status = np.asarray(batch.status)
+    basis_all = np.asarray(batch.basis)
+    xB_all = np.asarray(batch.xB)
+    iters = np.asarray(batch.iteration)
+    for k, (provider, problem) in enumerate(zip(providers, problems)):
+        stats = SolveStats(
+            iterations=int(iters[k]),
+            phase1_iterations=int(phase1_iters[k]),
+            wall_time_s=wall,
+        )
+        ok = feasible[k] and status[k] == OPTIMAL
+        artificial_ok = True
+        if ok:
+            for i in range(problem.m_real):
+                j = int(basis_all[k, i])
+                if j >= problem.art_offset and abs(xB_all[k, i]) > 1e-7:
+                    artificial_ok = False
+                    break
+        if not ok or not artificial_ok:
+            # Fall back to the full single-LP driver for this one.
+            from relp_tpu.simplex.driver import solve_relaxation
+
+            single_cfg = dataclasses.replace(cfg, certify=certify)
+            results.append(solve_relaxation(provider, single_cfg))
+            continue
+
+        structural_basis = [int(basis_all[k, i]) for i in range(problem.m_real)]
+        entries = []
+        for i in range(problem.m_real):
+            j = structural_basis[i]
+            if j < problem.n_real and abs(xB_all[k, i]) > cfg.zero_tol:
+                value = xB_all[k, i]
+                if problem.col_scale is not None:
+                    value *= problem.col_scale[j]
+                entries.append((j, value))
+        result = OptimizationResult(
+            status=SolveStatus.FINITE_OPTIMUM,
+            objective=float(np.asarray(batch.obj)[k]),
+            basis=structural_basis,
+            stats=stats,
+        )
+        result.float_entries = entries  # type: ignore[attr-defined]
+        if certify:
+            from relp_tpu.exact.certify import certify_and_repair
+
+            certify_and_repair(result, provider, structural_basis, cfg)
+        else:
+            from fractions import Fraction
+
+            result.bfs = SparseVector(
+                [(j, Fraction(float(v))) for j, v in entries], problem.n_real
+            )
+        results.append(result)
+    return results

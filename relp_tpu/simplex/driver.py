@@ -29,6 +29,7 @@ from relp_tpu.simplex.kernels import (
     PRICE_BLAND,
     PRICE_DANTZIG,
     PRICE_FIRST,
+    PRICE_FIRST_MEMORY,
     PRICE_STEEPEST,
 )
 from relp_tpu.simplex.lowering import (
@@ -49,7 +50,7 @@ _PRICING_CODES = {
     "dantzig": PRICE_DANTZIG,
     "steepest": PRICE_STEEPEST,
     "first": PRICE_FIRST,
-    "first_memory": PRICE_FIRST,
+    "first_memory": PRICE_FIRST_MEMORY,
 }
 
 

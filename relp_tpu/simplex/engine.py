@@ -55,6 +55,7 @@ class DenseEngine:
             status=jnp.asarray(RUNNING, jnp.int32),
             degen_count=jnp.zeros((), jnp.int32),
             inner=jnp.zeros((), jnp.int32),
+            price_start=jnp.zeros((), jnp.int32),
         )
 
     def refactor(
@@ -156,6 +157,7 @@ class LUEngine:
             iteration=jnp.zeros((), jnp.int32),
             status=jnp.asarray(RUNNING, jnp.int32),
             inner=jnp.zeros((), jnp.int32),
+            price_start=jnp.zeros((), jnp.int32),
         )
 
     def refactor(self, state, A, b, c, cfg: SolverConfig, stats: SolveStats):

@@ -44,10 +44,15 @@ PRICE_DANTZIG = 0
 PRICE_STEEPEST = 1
 PRICE_BLAND = 2  # first-profitable entering + lowest-index leaving
 PRICE_FIRST = 3  # first profitable (reference: FirstProfitable)
+PRICE_FIRST_MEMORY = 4  # round-robin resume (reference: FirstProfitableWithMemory)
 
 
-def _select_entering(d, gamma, eligible, pricing: int, N: int):
-    """Entering-column choice; returns (q, any_eligible)."""
+def _select_entering(d, gamma, eligible, pricing: int, N: int, start=None):
+    """Entering-column choice; returns (q, any_eligible).
+
+    ``start`` (FirstProfitableWithMemory) resumes the scan after the last
+    entering column, wrapping around (reference: pivot_rule.rs:113-150).
+    """
     neg_inf = jnp.array(-jnp.inf, dtype=d.dtype)
     any_eligible = jnp.any(eligible)
     if pricing == PRICE_DANTZIG:
@@ -56,6 +61,10 @@ def _select_entering(d, gamma, eligible, pricing: int, N: int):
     elif pricing == PRICE_STEEPEST:
         score = jnp.where(eligible, d * d / gamma, neg_inf)
         q = jnp.argmax(score)
+    elif pricing == PRICE_FIRST_MEMORY and start is not None:
+        idx = jnp.arange(N)
+        rotated = (idx - start) % N  # distance past the resume point
+        q = jnp.argmin(jnp.where(eligible, rotated, N))
     else:  # Bland / first-profitable: smallest eligible index
         idx = jnp.arange(N)
         q = jnp.min(jnp.where(eligible, idx, N))
@@ -126,7 +135,9 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
             threshold = jnp.asarray(opt_tol, scan_dtype)
         eligible = candidate_mask & (~state.in_basis) & (d < -threshold)
         gamma = state.gamma.astype(scan_dtype)
-        q, any_eligible = _select_entering(d, gamma, eligible, pricing, N)
+        q, any_eligible = _select_entering(
+            d, gamma, eligible, pricing, N, start=state.price_start
+        )
         q = q.astype(jnp.int32)
 
         # --- FTRAN (working precision) ---
@@ -206,6 +217,7 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
             status=new_status,
             degen_count=select(degen_new, state.degen_count),
             inner=state.inner + 1,
+            price_start=select((q + 1) % N, state.price_start).astype(jnp.int32),
         )
 
     return iteration

@@ -67,13 +67,17 @@ def lower_provider(
     dtype=np.float64,
     pad_to: int = 128,
     equilibrate: bool = False,
+    min_rows: int = 0,
+    min_cols: int = 0,
 ) -> DeviceProblem:
+    """``min_rows``/``min_cols`` force larger padded shapes — used by the
+    scenario-batch driver to lower many LPs to one common shape."""
     m_real = provider.nr_rows()
     n_real = provider.nr_columns()
 
-    M = pad_to_multiple(max(m_real, 1), pad_to)
+    M = pad_to_multiple(max(m_real, min_rows, 1), pad_to)
     art_offset = n_real
-    N = pad_to_multiple(n_real + M, pad_to)
+    N = pad_to_multiple(max(n_real + M, min_cols), pad_to)
 
     A = np.zeros((M, N), dtype=dtype)
     c2 = np.zeros(N, dtype=dtype)

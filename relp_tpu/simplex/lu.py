@@ -58,6 +58,7 @@ class LUState(NamedTuple):
     iteration: jnp.ndarray  # () int32
     status: jnp.ndarray  # () int32
     inner: jnp.ndarray  # () int32
+    price_start: jnp.ndarray  # () int32 — round-robin pricing resume point
 
 
 def _lu_solve(lu, piv, B0, rhs, trans: int, refine: bool = True):
@@ -168,7 +169,9 @@ def make_lu_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol:
             threshold = jnp.asarray(opt_tol, scan_dtype)
         eligible = candidate_mask & (~state.in_basis) & (d < -threshold)
         gamma = state.gamma.astype(scan_dtype)
-        q, any_eligible = _select_entering(d, gamma, eligible, pricing, N)
+        q, any_eligible = _select_entering(
+            d, gamma, eligible, pricing, N, start=state.price_start
+        )
         q = q.astype(jnp.int32)
 
         a_q = A_full[:, q]
@@ -252,6 +255,7 @@ def make_lu_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol:
             iteration=state.iteration + do_pivot.astype(jnp.int32),
             status=new_status,
             inner=state.inner + 1,
+            price_start=select((q + 1) % N, state.price_start).astype(jnp.int32),
         )
 
     return iteration

@@ -35,3 +35,4 @@ class SimplexState(NamedTuple):
     status: jnp.ndarray  # () int32
     degen_count: jnp.ndarray  # () int32 — consecutive degenerate pivots
     inner: jnp.ndarray  # () int32 — iterations taken in the current chunk
+    price_start: jnp.ndarray  # () int32 — round-robin pricing resume point

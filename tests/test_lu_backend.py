@@ -49,6 +49,7 @@ def test_lu_ftran_btran_identities():
         obj=obj, in_basis=jnp.asarray(np.arange(2 * M) < M),
         gamma=jnp.ones(2 * M), iteration=jnp.zeros((), jnp.int32),
         status=jnp.asarray(RUNNING, jnp.int32), inner=jnp.zeros((), jnp.int32),
+        price_start=jnp.zeros((), jnp.int32),
     )
 
     B = A[:, :M]
