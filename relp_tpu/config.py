@@ -29,8 +29,11 @@ class SolverConfig:
     needs none of them (exact rationals), so these are new design surface.
     """
 
-    # dtype used on device: "float64" (default, robust) or "float32".
-    dtype: str = "float64"
+    # Working dtype on device.  "float32" is the fast path (f64 is emulated
+    # ~40x slower on TPU); correctness is guaranteed by the exact rational
+    # certification pass, with automatic escalation to "float64" when an f32
+    # solve cannot be certified.
+    dtype: str = "float32"
 
     # dtype of the tableau copy used for the full-width pricing /
     # steepest-edge scans ("float32" | "bfloat16" | "same").  f64 matvecs are
@@ -103,6 +106,14 @@ class SolverConfig:
             raise ValueError(f"unsupported scan_dtype {self.scan_dtype!r}")
         if self.basis_inverse not in ("dense", "lu"):
             raise ValueError(f"unsupported basis_inverse {self.basis_inverse!r}")
+        if self.dtype == "float32":
+            # f32 working precision: tolerances below f32 resolution are
+            # noise; the exact certifier (and the f64 escalation in the
+            # driver) backstop correctness.
+            self.opt_tol = max(self.opt_tol, 1e-5)
+            self.pivot_tol = max(self.pivot_tol, 1e-5)
+            self.feas_tol = max(self.feas_tol, 1e-5)
+            self.phase1_tol = max(self.phase1_tol, 1e-4)
         if self.pricing not in ("dantzig", "steepest", "first", "first_memory"):
             raise ValueError(f"unsupported pricing rule {self.pricing!r}")
         if self.dtype == "float64":
@@ -119,6 +130,6 @@ def default_config() -> SolverConfig:
     global _DEFAULT
     if _DEFAULT is None:
         _DEFAULT = SolverConfig(
-            dtype=os.environ.get("RELP_TPU_DTYPE", "float64"),
+            dtype=os.environ.get("RELP_TPU_DTYPE", "float32"),
         )
     return _DEFAULT

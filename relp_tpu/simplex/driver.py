@@ -247,12 +247,28 @@ def solve_relaxation(
     if result.status is SolveStatus.NUMERICAL_ERROR:
         retry_cfg = dataclasses.replace(
             cfg0,
+            dtype="float64",
             pivot_tol=max(cfg0.pivot_tol, 1e-7),
             refactor_period=30,
             chunk_size=30,
             scan_dtype="same",
         )
         result = _solve_relaxation_once(provider, retry_cfg, warm_start_basis)
+    elif (
+        cfg0.dtype == "float32"
+        and cfg0.certify
+        and (
+            result.status
+            in (SolveStatus.ITERATION_LIMIT, SolveStatus.FINITE_OPTIMUM)
+        )
+        and not result.stats.certified
+    ):
+        # f32 escalation: the fast path found something uncertifiable —
+        # re-solve at working f64 (warm-started from the f32 basis when one
+        # exists).
+        retry_cfg = dataclasses.replace(cfg0, dtype="float64")
+        warm = result.basis if result.basis else warm_start_basis
+        result = _solve_relaxation_once(provider, retry_cfg, warm)
     return result
 
 

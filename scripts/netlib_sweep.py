@@ -54,6 +54,9 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--budget", type=float, default=120.0)
     parser.add_argument("--out", default="/tmp/netlib_sweep.json")
+    parser.add_argument("--dtype", default="float64")
+    parser.add_argument("--scan-dtype", default="float32")
+    parser.add_argument("--refactor", type=int, default=100)
     parser.add_argument("names", nargs="*")
     args = parser.parse_args()
 
@@ -67,7 +70,13 @@ def main():
         signal.alarm(int(args.budget))
         t0 = time.time()
         try:
-            result, solution, parse_s, solve_s = solve_one(name, args.budget, {})
+            overrides = dict(
+                dtype=args.dtype,
+                scan_dtype=args.scan_dtype,
+                refactor_period=args.refactor,
+                chunk_size=args.refactor,
+            )
+            result, solution, parse_s, solve_s = solve_one(name, args.budget, overrides)
             entry["status"] = result.status.value
             entry["parse_s"] = round(parse_s, 2)
             entry["solve_s"] = round(solve_s, 2)
