@@ -1,0 +1,106 @@
+"""Command-line interface: solve MPS/SIF files.
+
+The reference keeps its CLI in the companion ``relp-bin`` crate; here it
+ships in-tree: ``python -m relp_tpu solve problem.mps``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="relp_tpu", description="TPU-native exact LP solver"
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    solve = sub.add_parser("solve", help="solve an MPS/SIF file")
+    solve.add_argument("path")
+    solve.add_argument("--dtype", default=None, choices=["float32", "float64"])
+    solve.add_argument(
+        "--pricing",
+        default=None,
+        choices=["dantzig", "steepest", "first", "first_memory"],
+    )
+    solve.add_argument("--basis-inverse", default=None, choices=["dense", "lu"])
+    solve.add_argument("--no-presolve", action="store_true")
+    solve.add_argument("--no-certify", action="store_true")
+    solve.add_argument("--prescale", action="store_true")
+    solve.add_argument("--json", action="store_true", help="machine-readable output")
+    solve.add_argument("--save-basis", help="write the optimal basis to this path")
+    solve.add_argument("--values", action="store_true", help="print variable values")
+
+    args = parser.parse_args(argv)
+
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.io import load_general_form
+    from relp_tpu.simplex import SolveStatus, solve_general_form
+
+    overrides = {}
+    if args.dtype:
+        overrides["dtype"] = args.dtype
+    if args.pricing:
+        overrides["pricing"] = args.pricing
+    if args.basis_inverse:
+        overrides["basis_inverse"] = args.basis_inverse
+    if args.no_presolve:
+        overrides["presolve"] = False
+    if args.no_certify:
+        overrides["certify"] = False
+    if args.prescale:
+        overrides["prescale"] = True
+    cfg = SolverConfig(**overrides)
+
+    gf = load_general_form(args.path)
+    result, solution = solve_general_form(gf, cfg)
+
+    if args.save_basis and result.basis:
+        from relp_tpu.utils.checkpoint import save_basis
+
+        save_basis(args.save_basis, result.basis, {"path": args.path})
+
+    if args.json:
+        payload = {
+            "status": result.status.value,
+            "objective": (
+                str(solution.objective_value) if solution is not None else None
+            ),
+            "objective_float": (
+                float(solution.objective_value) if solution is not None else None
+            ),
+            "certified": result.stats.certified,
+            "iterations": result.stats.iterations,
+            "phase1_iterations": result.stats.phase1_iterations,
+            "wall_time_s": round(result.stats.wall_time_s, 3),
+        }
+        if args.values and solution is not None:
+            payload["values"] = {
+                name: str(value) for name, value in solution.solution_values
+            }
+        print(json.dumps(payload))
+    else:
+        print(f"status:     {result.status.value}")
+        if solution is not None:
+            print(
+                f"objective:  {solution.objective_value} "
+                f"(~{float(solution.objective_value):.10g})"
+            )
+        print(f"certified:  {result.stats.certified}")
+        print(
+            f"iterations: {result.stats.iterations} "
+            f"(phase 1: {result.stats.phase1_iterations})"
+        )
+        print(f"time:       {result.stats.wall_time_s:.3f}s")
+        if args.values and solution is not None:
+            for name, value in solution.solution_values:
+                if value:
+                    print(f"  {name} = {value}")
+
+    return 0 if result.status is SolveStatus.FINITE_OPTIMUM else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
