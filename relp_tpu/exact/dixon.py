@@ -2,7 +2,8 @@
 
 Solves ``B x = b`` exactly for sparse rational B:
 
-1. clear denominators (per column and for b) to get an integer system,
+1. clear denominators by row scaling (solution-invariant) to get an
+   integer system,
 2. invert the matrix mod a word-size prime with vectorized numpy
    Gauss-Jordan elimination,
 3. lift a p-adic expansion of the solution digit by digit (each digit is one
@@ -112,45 +113,52 @@ def _modinv_matrix_numpy(A_mod: np.ndarray, p: int) -> Optional[np.ndarray]:
 
 def _clear_denominators(
     columns: Sequence[Sequence[Entry]], b: Sequence[Fraction]
-) -> Tuple[List[List[Tuple[int, int]]], List[int], List[int], int]:
-    """Integerize: B D y = beta * b with x = D y / beta.
+) -> Tuple[List[List[Tuple[int, int]]], List[int]]:
+    """Integerize by *row* scaling: (D B) x = (D b) has the same solution x.
 
-    Returns (integer columns, integer rhs, column multipliers d_j, beta).
+    Per-row lcm keeps integer sizes local — a single global lcm over all of
+    b can be astronomically large when presolve has produced fractions with
+    unrelated denominators.
     """
-    int_columns: List[List[Tuple[int, int]]] = []
-    col_mults: List[int] = []
+    m = len(b)
+    row_lcm = [v.denominator for v in b]
     for col in columns:
-        d = 1
-        for _, v in col:
-            d = d * v.denominator // math.gcd(d, v.denominator)
-        int_columns.append([(i, int(v * d)) for i, v in col])
-        col_mults.append(d)
-    beta = 1
-    for v in b:
-        beta = beta * v.denominator // math.gcd(beta, v.denominator)
-    int_b = [int(v * beta) for v in b]
-    return int_columns, int_b, col_mults, beta
+        for i, v in col:
+            d = v.denominator
+            row_lcm[i] = row_lcm[i] * d // math.gcd(row_lcm[i], d)
+    int_columns: List[List[Tuple[int, int]]] = [
+        [(i, int(v * row_lcm[i])) for i, v in col] for col in columns
+    ]
+    int_b = [int(v * row_lcm[i]) for i, v in enumerate(b)]
+    return int_columns, int_b
+
+
+def _log2_int(n: int) -> float:
+    n = abs(n)
+    return float(n.bit_length()) if n > 1 else 0.0
 
 
 def _lift_bound(int_columns: List[List[Tuple[int, int]]], int_b: List[int], p: int) -> int:
     """Number of p-adic digits needed: p^K > 2 * numerator_bound * den_bound.
 
     Hadamard: |det| <= prod_j ||col_j||_2; Cramer numerators similarly with b
-    substituted. Work in logs.
+    substituted.  Works in base-2 logs via bit lengths (entries can exceed
+    float range).
     """
-    log_h = 0.0
-    max_col_log = 0.0
+    log2_h = 0.0
     for col in int_columns:
-        s = sum(float(v) * float(v) for _, v in col)
-        col_log = 0.5 * math.log(max(s, 1.0))
-        log_h += col_log
-        max_col_log = max(max_col_log, col_log)
-    sb = sum(float(v) * float(v) for v in int_b)
-    log_b = 0.5 * math.log(max(sb, 1.0))
-    # numerator bound: Hadamard with worst column replaced by b
-    log_num = log_h - 0.0 + max(log_b, 0.0)
-    log_total = log_h + log_num + math.log(2.0)
-    return max(2, int(math.ceil(log_total / math.log(p))) + 2)
+        # log2 ||col||_2 <= log2(sqrt(nnz) * max|entry|)
+        if not col:
+            continue
+        max_log = max(_log2_int(v) for _, v in col)
+        log2_h += max_log + 0.5 * math.log2(max(len(col), 1))
+    log2_b = max((_log2_int(v) for v in int_b), default=0.0) + 0.5 * math.log2(
+        max(len(int_b), 1)
+    )
+    log2_num = log2_h + max(log2_b, 0.0)
+    log2_total = log2_h + log2_num + 1.0
+    log2_p = math.log2(p)
+    return max(2, int(math.ceil(log2_total / log2_p)) + 2)
 
 
 def _rational_reconstruct(a: int, modulus: int, bound: int) -> Optional[Fraction]:
@@ -181,7 +189,7 @@ def exact_solve(
     """
     m = len(b)
     assert len(columns) == m
-    int_columns, int_b, col_mults, beta = _clear_denominators(columns, b)
+    int_columns, int_b = _clear_denominators(columns, b)
 
     # Dense mod-p copy.
     for p in _PRIMES:
@@ -240,8 +248,8 @@ def exact_solve(
             y[i] = rec
             den = den * rec.denominator // math.gcd(den, rec.denominator)
 
-    # Undo the integerization: x_j = d_j * y_j / beta.
-    x = [col_mults[j] * y[j] / beta for j in range(m)]
+    # Row scaling preserves the solution: x = y directly.
+    x = y
 
     # Exact verification of B x = b (guards the bound estimate).
     residual: List[Fraction] = [-v for v in b]

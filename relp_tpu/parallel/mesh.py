@@ -31,3 +31,28 @@ def make_mesh(
 
 def default_mesh():
     return make_mesh()
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize multi-host JAX (N>=2 hosts over DCN).
+
+    Call once per process before building meshes; afterwards
+    ``jax.devices()`` spans all hosts and :func:`make_mesh` shards across
+    them — put the scenario-batch axis across hosts (DCN) and the column
+    axis within a slice (ICI).  With no arguments, JAX auto-detects the
+    environment (TPU pods / GKE).
+    """
+    import jax
+
+    if coordinator_address is None:
+        jax.distributed.initialize()
+    else:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
