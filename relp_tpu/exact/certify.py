@@ -18,9 +18,19 @@ from relp_tpu.linalg.sparse import SparseVector
 from relp_tpu.providers.base import MatrixProvider
 from relp_tpu.exact.dixon import (
     ExactSingularError,
+    ExactSolver,
     exact_solve,
     exact_solve_transpose,
 )
+
+
+def _transpose(columns):
+    m = len(columns)
+    rows = [[] for _ in range(m)]
+    for j, col in enumerate(columns):
+        for i, v in col:
+            rows[i].append((j, v))
+    return rows
 
 
 def _basis_columns(provider: MatrixProvider, basis: Sequence[int]):
@@ -28,13 +38,16 @@ def _basis_columns(provider: MatrixProvider, basis: Sequence[int]):
 
 
 def certify_basis(
-    provider: MatrixProvider, basis: Sequence[int]
-) -> Tuple[List[Fraction], List[Fraction], Optional[int], Optional[int]]:
-    """Exact x_B, duals y, index of an infeasible row (or None), and an
-    entering column with exactly negative reduced cost (or None)."""
+    provider: MatrixProvider, basis: Sequence[int], solver: "ExactSolver" = None
+) -> Tuple[List[Fraction], List[Fraction], Optional[int], Optional[int], "ExactSolver"]:
+    """Exact x_B, duals y, index of an infeasible row (or None), an entering
+    column with exactly negative reduced cost (or None), and the cached
+    solver for further solves against this basis."""
     columns = _basis_columns(provider, basis)
     b = provider.right_hand_side()
-    x = exact_solve(columns, b)
+    if solver is None:
+        solver = ExactSolver(columns)
+    x = solver.solve(b)
 
     infeasible_row: Optional[int] = None
     for i, v in enumerate(x):
@@ -43,7 +56,7 @@ def certify_basis(
             break
 
     cB = [provider.cost_value(j) for j in basis]
-    y = exact_solve_transpose(columns, cB)
+    y = ExactSolver(_transpose(columns)).solve(cB)
 
     entering: Optional[int] = None
     in_basis = set(basis)
@@ -56,7 +69,7 @@ def certify_basis(
         if d < 0:
             entering = j
             break
-    return x, y, infeasible_row, entering
+    return x, y, infeasible_row, entering, solver
 
 
 def _exact_ratio_test(
@@ -64,15 +77,15 @@ def _exact_ratio_test(
     basis: List[int],
     x: List[Fraction],
     q: int,
+    solver: "ExactSolver",
 ) -> Optional[int]:
     """Exact min-ratio row with Bland tie-break on the leaving column index
     (reference: select_primal_pivot_row, tableau/mod.rs:287-313)."""
-    columns = _basis_columns(provider, basis)
     a_q = provider.column(q).entries()
     rhs = [Fraction(0)] * len(basis)
     for i, v in a_q:
         rhs[i] = v
-    w = exact_solve(columns, rhs)
+    w = solver.solve(rhs)
 
     best: Optional[Tuple[Fraction, int, int]] = None  # (ratio, basis col, row)
     for i, wi in enumerate(w):
@@ -95,7 +108,7 @@ def exact_cleanup(
     """
     pivots = 0
     while True:
-        x, y, infeasible_row, entering = certify_basis(provider, basis)
+        x, y, infeasible_row, entering, solver = certify_basis(provider, basis)
         if infeasible_row is not None:
             # The float solver returned an exactly-infeasible basis; exact
             # primal pivoting can't repair that from here.
@@ -104,7 +117,7 @@ def exact_cleanup(
             return basis, x, y, pivots, True
         if pivots >= cfg.exact_cleanup_budget:
             return basis, x, y, pivots, False
-        r = _exact_ratio_test(provider, basis, x, entering)
+        r = _exact_ratio_test(provider, basis, x, entering, solver)
         if r is None:
             # Exactly unbounded — caller decides.
             return basis, x, y, pivots, False
@@ -121,7 +134,7 @@ def certify_and_repair(
     """Certify ``result`` in place; repair with exact pivots if needed."""
     basis = list(basis)
     try:
-        x, y, infeasible_row, entering = certify_basis(provider, basis)
+        x, y, infeasible_row, entering, _solver = certify_basis(provider, basis)
         optimal = infeasible_row is None and entering is None
         if not optimal and cfg.exact_cleanup and infeasible_row is None:
             basis, x, y, pivots, optimal = exact_cleanup(provider, basis, cfg)

@@ -179,6 +179,65 @@ def _rational_reconstruct(a: int, modulus: int, bound: int) -> Optional[Fraction
     return Fraction(r1, t1)
 
 
+class ExactSolver:
+    """Cached exact solver for one basis matrix.
+
+    Clears denominators and computes the mod-p inverse once; every
+    subsequent :meth:`solve` is just lifting + reconstruction — the repeated
+    solves of certification and cleanup ratio tests share the O(m^3) work.
+    """
+
+    def __init__(self, columns: Sequence[Sequence[Entry]]):
+        self.m = len(columns)
+        self.columns = columns
+        self.row_lcm = _row_lcms(columns)
+        self.int_columns = [
+            [(i, int(v * self.row_lcm[i])) for i, v in col] for col in columns
+        ]
+        for p in _PRIMES:
+            A_mod = np.zeros((self.m, self.m), dtype=np.int64)
+            for j, col in enumerate(self.int_columns):
+                for i, v in col:
+                    A_mod[i, j] = v % p
+            inv_p = _modinv_matrix(A_mod, p)
+            if inv_p is not None:
+                break
+        else:
+            raise ExactSingularError("matrix singular modulo several primes")
+        self.p = p
+        self.inv_p = inv_p
+
+    def solve(self, b: Sequence[Fraction]) -> List[Fraction]:
+        # Row lcms were computed from the matrix alone; clear any remaining
+        # rhs denominators with one global multiplier lam, solving
+        # (D B) x' = (D b) * lam and returning x = x' / lam.
+        scaled = [v * self.row_lcm[i] for i, v in enumerate(b)]
+        lam = 1
+        for v in scaled:
+            d = v.denominator
+            lam = lam * d // math.gcd(lam, d)
+        int_b = [int(v * lam) for v in scaled]
+        return _lift_and_reconstruct(
+            self.columns,
+            self.int_columns,
+            int_b,
+            b,
+            self.p,
+            self.inv_p,
+            scale=lam,
+        )
+
+
+def _row_lcms(columns: Sequence[Sequence[Entry]]) -> List[int]:
+    m = len(columns)
+    row_lcm = [1] * m
+    for col in columns:
+        for i, v in col:
+            d = v.denominator
+            row_lcm[i] = row_lcm[i] * d // math.gcd(row_lcm[i], d)
+    return row_lcm
+
+
 def exact_solve(
     columns: Sequence[Sequence[Entry]],
     b: Sequence[Fraction],
@@ -202,7 +261,13 @@ def exact_solve(
             break
     else:
         raise ExactSingularError("matrix singular modulo several primes")
+    return _lift_and_reconstruct(columns, int_columns, int_b, b, p, inv_p)
 
+
+def _lift_and_reconstruct(
+    columns, int_columns, int_b, b, p, inv_p, scale: int = 1
+) -> List[Fraction]:
+    m = len(int_b)
     K = _lift_bound(int_columns, int_b, p)
 
     # p-adic lifting.
@@ -248,8 +313,8 @@ def exact_solve(
             y[i] = rec
             den = den * rec.denominator // math.gcd(den, rec.denominator)
 
-    # Row scaling preserves the solution: x = y directly.
-    x = y
+    # Row scaling preserves the solution; undo the rhs multiplier if any.
+    x = y if scale == 1 else [v / scale for v in y]
 
     # Exact verification of B x = b (guards the bound estimate).
     residual: List[Fraction] = [-v for v in b]
