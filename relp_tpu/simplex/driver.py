@@ -245,15 +245,28 @@ def solve_relaxation(
     cfg0 = config or default_config()
     result = _solve_relaxation_once(provider, cfg0, warm_start_basis)
     if result.status is SolveStatus.NUMERICAL_ERROR:
-        retry_cfg = dataclasses.replace(
-            cfg0,
-            dtype="float64",
-            pivot_tol=max(cfg0.pivot_tol, 1e-7),
-            refactor_period=30,
-            chunk_size=30,
-            scan_dtype="same",
-        )
-        result = _solve_relaxation_once(provider, retry_cfg, warm_start_basis)
+        # Escalation ladder: f64 with a tighter refactorization cadence
+        # first (fixes drift-induced singular bases, e.g. netlib CYCLE),
+        # then the fully conservative configuration.
+        for retry_cfg in (
+            dataclasses.replace(
+                cfg0,
+                dtype="float64",
+                refactor_period=min(cfg0.refactor_period, 60),
+                chunk_size=min(cfg0.chunk_size, 60),
+            ),
+            dataclasses.replace(
+                cfg0,
+                dtype="float64",
+                pivot_tol=max(cfg0.pivot_tol, 1e-7),
+                refactor_period=30,
+                chunk_size=30,
+                scan_dtype="same",
+            ),
+        ):
+            result = _solve_relaxation_once(provider, retry_cfg, warm_start_basis)
+            if result.status is not SolveStatus.NUMERICAL_ERROR:
+                break
     elif (
         cfg0.dtype == "float32"
         and cfg0.certify
