@@ -100,6 +100,63 @@ def main():
         kernels.PRICE_STEEPEST,
     )
 
+    # --- scenario batch: 64 perturbed LPs in lockstep (dp analog) ---
+    from relp_tpu.parallel.batch import batched_run_chunk, make_batch_state
+
+    B, mb, nb = 64, 256, 512
+    states, As, cs, cands = [], [], [], []
+    for s in range(B):
+        Ab, bb, c1b, c2b, candb, basisb = _synthetic_problem(
+            m=mb, n=nb, pad=128, seed=100 + s, dtype=np.float32
+        )
+        states.append(_make_state(Ab, bb, c1b, basisb))
+        As.append(Ab)
+        cs.append(c1b)
+        cands.append(candb)
+    batch = make_batch_state(states)
+    A_b = jnp.asarray(np.stack(As))
+    c_b = jnp.asarray(np.stack(cs))
+    cand_b = jnp.asarray(np.stack(cands))
+
+    def run_batch(chunk):
+        out = batched_run_chunk(
+            batch,
+            A_b,
+            A_b,
+            c_b,
+            cand_b,
+            pricing=kernels.PRICE_STEEPEST,
+            chunk=chunk,
+            opt_tol=1e-7,
+            pivot_tol=1e-7,
+            degen_tol=1e-7,
+        )
+        total = int(np.asarray(out.iteration).sum())
+        t0 = time.time()
+        out = batched_run_chunk(
+            batch,
+            A_b,
+            A_b,
+            c_b,
+            cand_b,
+            pricing=kernels.PRICE_STEEPEST,
+            chunk=chunk,
+            opt_tol=1e-7,
+            pivot_tol=1e-7,
+            degen_tol=1e-7,
+        )
+        total = int(np.asarray(out.iteration).sum())
+        return time.time() - t0, total
+
+    try:
+        d_s, i_s = run_batch(10)
+        d_b2, i_b2 = run_batch(120)
+        batch_per_pivot = (
+            (d_b2 - d_s) / (i_b2 - i_s) if i_b2 > i_s else None
+        )
+    except Exception:  # noqa: BLE001 — batch metric is best-effort detail
+        batch_per_pivot = None
+
     value = 1.0 / per_f32 if per_f32 else 0.0
     result = {
         "metric": "simplex_iterations_per_s",
@@ -112,6 +169,9 @@ def main():
             "fast_path_f32_ms_per_iter": round(per_f32 * 1e3, 4) if per_f32 else None,
             "robust_path_f64_carry_iters_per_s": (
                 round(1.0 / per_f64, 1) if per_f64 else None
+            ),
+            "batched_64x_m256_pivots_per_s": (
+                round(1.0 / batch_per_pivot, 1) if batch_per_pivot else None
             ),
             "methodology": "marginal chunk differencing (10 vs 300 pivots)",
             "device": str(jax.devices()[0]),
