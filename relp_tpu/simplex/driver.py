@@ -226,6 +226,7 @@ def solve_relaxation(
     config: Optional[SolverConfig] = None,
     *,
     warm_start_basis: Optional[List[int]] = None,
+    mesh=None,
 ) -> OptimizationResult:
     """Two-phase revised simplex over a provider
     (reference: SolveRelaxation::solve_relaxation, two_phase/mod.rs:25-109).
@@ -243,7 +244,7 @@ def solve_relaxation(
     import dataclasses
 
     cfg0 = config or default_config()
-    result = _solve_relaxation_once(provider, cfg0, warm_start_basis)
+    result = _solve_relaxation_once(provider, cfg0, warm_start_basis, mesh)
     if result.status is SolveStatus.NUMERICAL_ERROR:
         # Escalation ladder: f64 with a tighter refactorization cadence
         # first (fixes drift-induced singular bases, e.g. netlib CYCLE),
@@ -264,7 +265,9 @@ def solve_relaxation(
                 scan_dtype="same",
             ),
         ):
-            result = _solve_relaxation_once(provider, retry_cfg, warm_start_basis)
+            result = _solve_relaxation_once(
+                provider, retry_cfg, warm_start_basis, mesh
+            )
             if result.status is not SolveStatus.NUMERICAL_ERROR:
                 break
     elif (
@@ -281,7 +284,7 @@ def solve_relaxation(
         # exists).
         retry_cfg = dataclasses.replace(cfg0, dtype="float64")
         warm = result.basis if result.basis else warm_start_basis
-        result = _solve_relaxation_once(provider, retry_cfg, warm)
+        result = _solve_relaxation_once(provider, retry_cfg, warm, mesh)
     return result
 
 
@@ -289,6 +292,7 @@ def _solve_relaxation_once(
     provider: MatrixProvider,
     config: Optional[SolverConfig] = None,
     warm_start_basis: Optional[List[int]] = None,
+    mesh=None,
 ) -> OptimizationResult:
     import jax.numpy as jnp
 
@@ -312,6 +316,21 @@ def _solve_relaxation_once(
     c1 = jnp.asarray(problem.c_phase1)
     c2 = jnp.asarray(problem.c_phase2)
     candidate_mask = jnp.asarray(problem.candidate_mask)
+
+    def apply_mesh(A, A_scan, b, c1, c2, candidate_mask):
+        # Column-shard the tableau over the mesh; GSPMD partitions the
+        # pricing scans and inserts the ICI argmax combine.
+        from relp_tpu.parallel.sharded import shard_problem
+
+        A, b, c1, mask = shard_problem(mesh, A, b, c1, candidate_mask)
+        A_scan2, _, c2s, _ = shard_problem(mesh, A_scan, b, c2, mask)
+        return A, A_scan2, b, c1, c2s, mask
+
+    if mesh is not None:
+        with mesh:
+            A, A_scan, b, c1, c2, candidate_mask = apply_mesh(
+                A, A_scan, b, c1, c2, candidate_mask
+            )
 
     warm_started = False
     cold_basis = problem.initial_basis.copy()

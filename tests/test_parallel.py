@@ -103,9 +103,10 @@ def test_column_sharded_chunk(cpu_config):
     from relp_tpu.simplex.lowering import lower_provider
 
     md, _ = _provider(6)
-    problem = lower_provider(md, pad_to=8)
+    problem = lower_provider(md, pad_to=8)  # f64 arrays
     engine = DenseEngine()
-    state = engine.init_state(problem, cpu_config)
+    cfg64 = SolverConfig(pad_to=8, dtype="float64")
+    state = engine.init_state(problem, cfg64)
 
     A = jnp.asarray(problem.A)
     c = jnp.asarray(problem.c_phase2)
@@ -124,9 +125,27 @@ def test_column_sharded_chunk(cpu_config):
         A_s, b_s, c_s, cand_s = shard_problem(
             mesh, A, jnp.asarray(problem.b), c, cand
         )
-        state_s = shard_state(mesh, engine.init_state(problem, cpu_config))
+        state_s = shard_state(mesh, engine.init_state(problem, cfg64))
         sharded = kernels.run_chunk(state_s, A_s, A_s, c_s, cand_s, **kwargs)
 
     assert int(sharded.iteration) == int(plain.iteration)
     assert np.array_equal(np.asarray(sharded.basis), np.asarray(plain.basis))
     assert np.allclose(np.asarray(sharded.xB), np.asarray(plain.xB))
+
+
+def test_driver_with_mesh(cpu_config):
+    """End-to-end solve through the driver with a column-sharded mesh."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from relp_tpu.parallel.mesh import make_mesh
+    from relp_tpu.simplex import solve_relaxation
+
+    md, _ = _provider(6)
+    plain = solve_relaxation(md, cpu_config)
+    mesh = make_mesh((1, 8))
+    sharded = solve_relaxation(md, cpu_config, mesh=mesh)
+    assert sharded.status is plain.status
+    assert sharded.exact_objective == plain.exact_objective
+    assert sharded.basis == plain.basis
