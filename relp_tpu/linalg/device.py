@@ -9,7 +9,7 @@ so they never interact with the solve (see relp_tpu.simplex.lowering).
 from __future__ import annotations
 
 from fractions import Fraction
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import bisect
 from fractions import Fraction
-from typing import Iterable, Iterator, List, Optional, Sequence, Tuple
+from typing import Iterable, Iterator, List, Sequence, Tuple
 
 Entry = Tuple[int, Fraction]
 

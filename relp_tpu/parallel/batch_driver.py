@@ -30,7 +30,7 @@ from relp_tpu.simplex.engine import DenseEngine
 from relp_tpu.simplex.kernels import PRICE_STEEPEST
 from relp_tpu.simplex.lowering import lower_provider
 from relp_tpu.simplex.result import OptimizationResult, SolveStats, SolveStatus
-from relp_tpu.simplex.state import OPTIMAL, RUNNING, UNBOUNDED
+from relp_tpu.simplex.state import OPTIMAL, RUNNING
 
 
 def solve_batch(

@@ -15,8 +15,6 @@ recipe — no hand-written NCCL analog.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 
 def _p():
     from jax.sharding import PartitionSpec

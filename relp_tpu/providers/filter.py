@@ -13,7 +13,7 @@ from typing import List, Optional, Sequence
 from relp_tpu.data.elements import BoundDirection
 from relp_tpu.linalg.sparse import SparseVector
 from relp_tpu.providers.base import MatrixProvider
-from relp_tpu.providers.column import Column, SparseColumn
+from relp_tpu.providers.column import Column
 
 
 class RemoveRows(MatrixProvider):
