@@ -164,6 +164,61 @@ def certify_and_repair(
     result.stats.certified = True
 
 
+def certify_infeasible(
+    provider: MatrixProvider,
+    basis: Sequence[int],
+    art_offset: int,
+) -> bool:
+    """Exactly certify infeasibility from a phase-1-optimal basis.
+
+    The basis may contain artificial columns (index >= ``art_offset``; the
+    artificial for row i is ``art_offset + i`` with column e_i and phase-1
+    cost 1).  Checks the Farkas certificate: with exact duals y of the
+    phase-1 basis, y^T a_j <= 0 for every real column while y^T b > 0 — no
+    nonnegative x can satisfy Ax = b.
+    """
+    n = provider.nr_columns()
+    b = provider.right_hand_side()
+    m = len(b)
+
+    columns = []
+    cB = []
+    for j in basis:
+        if j >= art_offset:
+            row = j - art_offset
+            if row >= m:
+                return False
+            columns.append([(row, Fraction(1))])
+            cB.append(Fraction(1))
+        else:
+            columns.append(provider.column(j).entries())
+            cB.append(Fraction(0))
+
+    try:
+        solver = ExactSolver(columns)
+        x = solver.solve(b)
+        if any(v < 0 for v in x):
+            return False
+        phase1_obj = sum(
+            (c * v for c, v in zip(cB, x)), Fraction(0)
+        )
+        if phase1_obj <= 0:
+            return False
+        y = ExactSolver(_transpose(columns)).solve(cB)
+    except ExactSingularError:
+        return False
+
+    for j in range(n):
+        total = Fraction(0)
+        for i, v in provider.column(j).iter_entries():
+            total += y[i] * v
+        # Phase-1 reduced cost of a real column is 0 - y.a_j; optimality
+        # requires y.a_j <= 0 exactly.
+        if total > 0:
+            return False
+    return True
+
+
 def _fallback_float_bfs(result, provider: MatrixProvider) -> None:
     entries = getattr(result, "float_entries", [])
     result.bfs = SparseVector(

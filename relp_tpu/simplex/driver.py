@@ -375,6 +375,17 @@ def _solve_relaxation_once(
         if status == UNBOUNDED:
             raise AssertionError("phase-1 objective cannot be unbounded")
         if not feasible:
+            if cfg.certify:
+                # Exact Farkas certificate from the phase-1-optimal basis.
+                from relp_tpu.exact.certify import certify_infeasible
+
+                basis_np = np.asarray(state.basis)
+                phase1_basis = [
+                    int(basis_np[i]) for i in range(problem.m_real)
+                ]
+                stats.certified = certify_infeasible(
+                    problem.provider, phase1_basis, problem.art_offset
+                )
             return _finish(cfg, stats, t_start, SolveStatus.INFEASIBLE)
 
         # Fresh factorization before zero-level drive-out (the LU engine's

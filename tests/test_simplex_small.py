@@ -195,3 +195,21 @@ def test_degenerate_lp(cpu_config):
     result, solution = solve_general_form(gf, cpu_config)
     assert result.status is SolveStatus.FINITE_OPTIMUM
     assert solution.objective_value == Fraction(-2)
+
+
+def test_infeasible_is_exactly_certified():
+    """Infeasibility verdicts carry an exact Farkas certificate."""
+    from relp_tpu.config import SolverConfig
+
+    cfg = SolverConfig(pad_to=8, presolve=False)
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, 1], [1, 1]],
+        [RangedConstraintRelation.less(), RangedConstraintRelation.greater()],
+        [1, 3],
+        [1, 1],
+        [(0, None), (0, None)],
+    )
+    result, solution = solve_general_form(gf, cfg)
+    assert result.status is SolveStatus.INFEASIBLE
+    assert result.stats.certified
