@@ -219,6 +219,45 @@ def certify_infeasible(
     return True
 
 
+def certify_unbounded(provider: MatrixProvider, basis: Sequence[int]) -> bool:
+    """Exactly certify unboundedness at the current basis: some column has
+    exactly negative reduced cost and an exactly nonpositive FTRAN column
+    (an improving ray; reference: OptimizationResult::Unbounded)."""
+    columns = _basis_columns(provider, basis)
+    b = provider.right_hand_side()
+    try:
+        solver = ExactSolver(columns)
+        x = solver.solve(b)
+        if any(v < 0 for v in x):
+            return False  # not even a feasible basis
+        cB = [provider.cost_value(j) for j in basis]
+        y = ExactSolver(_transpose(columns)).solve(cB)
+    except ExactSingularError:
+        return False
+
+    in_basis = set(basis)
+    m = len(basis)
+    for j in range(provider.nr_columns()):
+        if j in in_basis:
+            continue
+        entries = provider.column(j).entries()
+        d = provider.cost_value(j) - sum(
+            (y[i] * v for i, v in entries), Fraction(0)
+        )
+        if d >= 0:
+            continue
+        rhs = [Fraction(0)] * m
+        for i, v in entries:
+            rhs[i] = v
+        try:
+            w = solver.solve(rhs)
+        except ExactSingularError:
+            return False
+        if all(wi <= 0 for wi in w):
+            return True
+    return False
+
+
 def _fallback_float_bfs(result, provider: MatrixProvider) -> None:
     entries = getattr(result, "float_entries", [])
     result.bfs = SparseVector(

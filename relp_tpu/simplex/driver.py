@@ -437,6 +437,15 @@ def _solve_relaxation_once(
     if status == RUNNING:
         return _finish(cfg, stats, t_start, SolveStatus.ITERATION_LIMIT)
     if status == UNBOUNDED:
+        if cfg.certify:
+            from relp_tpu.exact.certify import certify_unbounded
+
+            basis_np = np.asarray(state.basis)
+            structural = [int(basis_np[i]) for i in range(problem.m_real)]
+            if all(j < problem.n_real for j in structural):
+                stats.certified = certify_unbounded(
+                    problem.provider, structural
+                )
         return _finish(cfg, stats, t_start, SolveStatus.UNBOUNDED)
 
     # --- extract the BFS over provider columns ---

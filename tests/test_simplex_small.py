@@ -213,3 +213,20 @@ def test_infeasible_is_exactly_certified():
     result, solution = solve_general_form(gf, cfg)
     assert result.status is SolveStatus.INFEASIBLE
     assert result.stats.certified
+
+
+def test_unbounded_is_exactly_certified():
+    from relp_tpu.config import SolverConfig
+
+    cfg = SolverConfig(pad_to=8, presolve=False)
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, -1]],
+        [RangedConstraintRelation.less()],
+        [1],
+        [-1, 0],
+        [(0, None), (0, None)],
+    )
+    result, solution = solve_general_form(gf, cfg)
+    assert result.status is SolveStatus.UNBOUNDED
+    assert result.stats.certified
