@@ -66,15 +66,18 @@ bool parse_number(std::string_view text, int64_t* mantissa, int32_t* exp10) {
   unsigned long long mag = 0;
   int32_t exponent = 0;
   bool any_digit = false;
+  // Strict guard: mag*10 + 9 must stay <= INT64_MAX, so require
+  // mag <= (INT64_MAX - 9) / 10.
+  constexpr unsigned long long kMaxBeforeDigit = 922337203685477579ULL;
   for (; i < text.size() && text[i] >= '0' && text[i] <= '9'; ++i) {
-    if (mag > 922337203685477580ULL) return false;
+    if (mag > kMaxBeforeDigit) return false;
     mag = mag * 10 + (text[i] - '0');
     any_digit = true;
   }
   if (i < text.size() && text[i] == '.') {
     ++i;
     for (; i < text.size() && text[i] >= '0' && text[i] <= '9'; ++i) {
-      if (mag > 922337203685477580ULL) return false;
+      if (mag > kMaxBeforeDigit) return false;
       mag = mag * 10 + (text[i] - '0');
       --exponent;
       any_digit = true;
@@ -313,6 +316,9 @@ ParseResult* parse_impl(const char* data, size_t size, bool fixed) {
     }
     if (!name_f.empty() &&
         (current_col < 0 || name_f != current_col_name)) {
+      if (cols.lookup(name_f) >= 0) {
+        return fail(lines[idx].number, "duplicate column name");
+      }
       current_col = cols.intern(name_f);
       current_col_name = std::string(name_f);
     }

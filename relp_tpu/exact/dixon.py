@@ -156,7 +156,10 @@ def _lift_bound(int_columns: List[List[Tuple[int, int]]], int_b: List[int], p: i
         max(len(int_b), 1)
     )
     log2_num = log2_h + max(log2_b, 0.0)
-    log2_total = log2_h + log2_num + 1.0
+    # The reconstruction uses the *symmetric* bound sqrt(p^K / 2) for both
+    # numerator and denominator, so p^K must exceed 2*max(num, den)^2 —
+    # not just 2*num*den (numerators dominate when the rhs is large).
+    log2_total = 2.0 * max(log2_num, log2_h) + 1.0
     log2_p = math.log2(p)
     return max(2, int(math.ceil(log2_total / log2_p)) + 2)
 

@@ -173,13 +173,13 @@ def solve_batch(
             wall_time_s=wall,
         )
         ok = feasible[k] and status[k] == OPTIMAL
-        artificial_ok = True
-        if ok:
-            for i in range(problem.m_real):
-                j = int(basis_all[k, i])
-                if j >= problem.art_offset and abs(xB_all[k, i]) > 1e-7:
-                    artificial_ok = False
-                    break
+        # Any artificial still basic (even at zero level) means the batch
+        # path cannot certify or extract this LP — the single-LP driver has
+        # the drive-out / rank-repair machinery.
+        artificial_ok = ok and all(
+            int(basis_all[k, i]) < problem.art_offset
+            for i in range(problem.m_real)
+        )
         if not ok or not artificial_ok:
             # Fall back to the full single-LP driver for this one.
             from relp_tpu.simplex.driver import solve_relaxation

@@ -60,7 +60,7 @@ def shard_state(mesh, state):
     )
 
 
-def sharded_run_chunk(mesh, state, A, c, candidate_mask, **kwargs):
+def sharded_run_chunk(mesh, state, A_scan, A_full, c, candidate_mask, **kwargs):
     """Run a chunk with the tableau column-sharded over the mesh.
 
     Identical math to :func:`relp_tpu.simplex.kernels.run_chunk`; the
@@ -68,4 +68,4 @@ def sharded_run_chunk(mesh, state, A, c, candidate_mask, **kwargs):
     """
     from relp_tpu.simplex.kernels import run_chunk
 
-    return run_chunk(state, A, c, candidate_mask, **kwargs)
+    return run_chunk(state, A_scan, A_full, c, candidate_mask, **kwargs)

@@ -196,8 +196,10 @@ def _drive_out_artificials(
     state,
     problem: DeviceProblem,
     A,
+    b,
     c,
     cfg: SolverConfig,
+    stats: SolveStats,
 ):
     """Pivot zero-level artificials out of the basis; return redundant rows
     (reference: remove_artificial_basis_variables, phase_one.rs:232-278)."""
@@ -215,6 +217,12 @@ def _drive_out_artificials(
         )[0]
         if candidates.size:
             q = int(candidates[np.argmax(np.abs(row[candidates]))])
+            # The LU engine's eta ring has fixed capacity; refactorize
+            # before it would overflow (JAX would clamp the write index and
+            # silently corrupt the inverse).
+            eta_count = getattr(state, "eta_count", None)
+            if eta_count is not None and int(eta_count) >= cfg.refactor_period - 1:
+                state, _res = engine.refactor(state, A, b, c, cfg, stats)
             state = engine.forced_pivot(state, A, c, q, r)
         else:
             redundant.append(r)
@@ -275,7 +283,12 @@ def solve_relaxation(
         and cfg0.certify
         and (
             result.status
-            in (SolveStatus.ITERATION_LIMIT, SolveStatus.FINITE_OPTIMUM)
+            in (
+                SolveStatus.ITERATION_LIMIT,
+                SolveStatus.FINITE_OPTIMUM,
+                SolveStatus.INFEASIBLE,
+                SolveStatus.UNBOUNDED,
+            )
         )
         and not result.stats.certified
     ):
@@ -392,7 +405,7 @@ def _solve_relaxation_once(
         # eta ring may be full at phase end).
         state, _residual = engine.refactor(state, A, b, c1, cfg, stats)
         state, redundant = _drive_out_artificials(
-            engine, state, problem, A, c1, cfg
+            engine, state, problem, A, b, c1, cfg, stats
         )
         if redundant:
             # Rank repair: rebuild without the redundant rows.

@@ -74,20 +74,21 @@ class DenseEngine:
             # ill-conditioned basis; fall back to host LAPACK in f64
             # (handles condition numbers up to ~1e15).
             basis = np.asarray(state.basis)
-            B = np.asarray(A)[:, basis]
+            B = np.asarray(A)[:, basis].astype(np.float64)
             try:
                 Binv_h = np.linalg.inv(B)
             except np.linalg.LinAlgError:
                 return state, float("inf")
             res = float(np.max(np.abs(B @ Binv_h - np.eye(B.shape[0]))))
-            b_h = np.asarray(b)
-            c_h = np.asarray(c)
+            b_h = np.asarray(b, dtype=np.float64)
+            c_h = np.asarray(c, dtype=np.float64)
             xB_h = Binv_h @ b_h
             cB = c_h[basis]
-            Binv = jnp.asarray(Binv_h)
-            xB = jnp.asarray(xB_h)
-            pi = jnp.asarray(cB @ Binv_h)
-            obj = jnp.asarray(float(cB @ xB_h), dtype=A.dtype)
+            dt = A.dtype
+            Binv = jnp.asarray(Binv_h.astype(dt))
+            xB = jnp.asarray(xB_h.astype(dt))
+            pi = jnp.asarray((cB @ Binv_h).astype(dt))
+            obj = jnp.asarray(float(cB @ xB_h), dtype=dt)
         xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
         return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), res
 

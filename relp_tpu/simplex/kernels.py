@@ -149,8 +149,11 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
         # chunk reports OPTIMAL and the driver's full-precision polish pass
         # decides true optimality.
         d_q_full = c[q] - state.pi @ a_q
-        really_improving = d_q_full < -opt_tol
-        any_eligible = any_eligible & really_improving
+        if low_precision_scan:
+            # Scan noise cannot fabricate candidates; when the scan already
+            # runs at working precision the recheck would only disagree by
+            # reduction order and could mask other eligible columns.
+            any_eligible = any_eligible & (d_q_full < -opt_tol)
 
         # --- ratio test ---
         r, any_positive = _select_leaving(

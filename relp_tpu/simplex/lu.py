@@ -177,7 +177,8 @@ def make_lu_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol:
         a_q = A_full[:, q]
         w = lu_ftran(state, a_q)
         d_q_full = c[q] - state.pi @ a_q
-        any_eligible = any_eligible & (d_q_full < -opt_tol)
+        if low_precision_scan:
+            any_eligible = any_eligible & (d_q_full < -opt_tol)
 
         r, any_positive = _select_leaving(
             state.xB, w, state.basis, pricing, pivot_tol, M
