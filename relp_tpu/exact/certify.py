@@ -56,7 +56,7 @@ def certify_basis(
             break
 
     cB = [provider.cost_value(j) for j in basis]
-    y = ExactSolver(_transpose(columns)).solve(cB)
+    y = solver.transposed().solve(cB)
 
     entering: Optional[int] = None
     in_basis = set(basis)
@@ -204,7 +204,7 @@ def certify_infeasible(
         )
         if phase1_obj <= 0:
             return False
-        y = ExactSolver(_transpose(columns)).solve(cB)
+        y = solver.transposed().solve(cB)
     except ExactSingularError:
         return False
 
@@ -231,7 +231,7 @@ def certify_unbounded(provider: MatrixProvider, basis: Sequence[int]) -> bool:
         if any(v < 0 for v in x):
             return False  # not even a feasible basis
         cB = [provider.cost_value(j) for j in basis]
-        y = ExactSolver(_transpose(columns)).solve(cB)
+        y = solver.transposed().solve(cB)
     except ExactSingularError:
         return False
 

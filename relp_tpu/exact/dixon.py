@@ -210,6 +210,50 @@ class ExactSolver:
         self.p = p
         self.inv_p = inv_p
 
+    def transposed(self) -> "ExactSolver":
+        """Solver for B^T, reusing this solver's mod-p inversion.
+
+        With M = D_r B (this solver's integer matrix) and inv_p = M^-1 mod p:
+        B^-1 = inv_p D_r, so (B^T)^-1 = D_r inv_p^T.  The transpose solver's
+        integer matrix is N = D_c B^T (D_c = per-column denominator lcms of
+        B), whose inverse mod p is D_r inv_p^T D_c^-1 — three diagonal
+        scalings instead of a second O(m^3) Gauss-Jordan.
+        """
+        m = self.m
+        # Columns of B^T = rows of B, entries indexed by original column.
+        t_columns: List[List[Entry]] = [[] for _ in range(m)]
+        for j, col in enumerate(self.columns):
+            for i, v in col:
+                t_columns[i].append((j, v))
+
+        out = ExactSolver.__new__(ExactSolver)
+        out.m = m
+        out.columns = t_columns
+        out.row_lcm = _row_lcms(t_columns)  # = D_c
+        out.int_columns = [
+            [(i, int(v * out.row_lcm[i])) for i, v in col] for col in t_columns
+        ]
+        p = self.p
+        if any(l % p == 0 for l in self.row_lcm) or any(
+            l % p == 0 for l in out.row_lcm
+        ):
+            # A denominator lcm divisible by p breaks the diagonal-scaling
+            # shortcut; rebuild from scratch (rare).
+            return ExactSolver(t_columns)
+        d_r = np.fromiter(
+            ((l % p) for l in self.row_lcm), dtype=np.int64, count=m
+        )
+        d_c_inv = np.fromiter(
+            (pow(int(l % p), p - 2, p) for l in out.row_lcm),
+            dtype=np.int64,
+            count=m,
+        )
+        inv_t = (self.inv_p.T * d_r[:, None]) % p
+        inv_t = (inv_t * d_c_inv[None, :]) % p
+        out.p = p
+        out.inv_p = inv_t
+        return out
+
     def solve(self, b: Sequence[Fraction]) -> List[Fraction]:
         # Row lcms were computed from the matrix alone; clear any remaining
         # rhs denominators with one global multiplier lam, solving
