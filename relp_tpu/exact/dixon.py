@@ -320,7 +320,14 @@ def _lift_and_reconstruct(
     # p-adic lifting.
     r: List[int] = list(int_b)
     digits: List[np.ndarray] = []
+    exact_early = False
     for _ in range(K):
+        if not any(r):
+            # Residual is exactly zero: the digits so far ARE the solution
+            # (a nonnegative integer vector) — skip the remaining digits
+            # and the modular reconstruction entirely.
+            exact_early = True
+            break
         rp = np.fromiter((ri % p for ri in r), dtype=np.int64, count=m)
         d = (inv_p @ rp) % p
         # r <- (r - B d) / p exactly, via the sparse integer columns.
@@ -333,32 +340,35 @@ def _lift_and_reconstruct(
         r = [(ri - bdi) // p for ri, bdi in zip(r, Bd)]
         digits.append(d)
 
-    modulus = p ** K
-    half = modulus // 2
-    bound = math.isqrt(half)
-
-    # Horner per entry, then shared-denominator reconstruction.
-    y_mod: List[int] = []
+    # Horner per entry.
+    y_int: List[int] = []
     for i in range(m):
         acc = 0
         for d in reversed(digits):
             acc = acc * p + int(d[i])
-        y_mod.append(acc % modulus)
+        y_int.append(acc)
 
-    den = 1
-    y: List[Fraction] = [Fraction(0)] * m
-    for i in range(m):
-        scaled = (y_mod[i] * den) % modulus
-        if scaled > half:
-            scaled -= modulus
-        if abs(scaled) <= bound * den:
-            y[i] = Fraction(scaled, den)
-        else:
-            rec = _rational_reconstruct(y_mod[i], modulus, bound)
-            if rec is None:
-                raise ExactSingularError("rational reconstruction failed")
-            y[i] = rec
-            den = den * rec.denominator // math.gcd(den, rec.denominator)
+    if exact_early:
+        y: List[Fraction] = [Fraction(v) for v in y_int]
+    else:
+        modulus = p ** len(digits)
+        half = modulus // 2
+        bound = math.isqrt(half)
+        den = 1
+        y = [Fraction(0)] * m
+        for i in range(m):
+            y_mod_i = y_int[i] % modulus
+            scaled = (y_mod_i * den) % modulus
+            if scaled > half:
+                scaled -= modulus
+            if abs(scaled) <= bound * den:
+                y[i] = Fraction(scaled, den)
+            else:
+                rec = _rational_reconstruct(y_mod_i, modulus, bound)
+                if rec is None:
+                    raise ExactSingularError("rational reconstruction failed")
+                y[i] = rec
+                den = den * rec.denominator // math.gcd(den, rec.denominator)
 
     # Row scaling preserves the solution; undo the rhs multiplier if any.
     x = y if scale == 1 else [v / scale for v in y]
