@@ -230,3 +230,25 @@ def test_unbounded_is_exactly_certified():
     result, solution = solve_general_form(gf, cfg)
     assert result.status is SolveStatus.UNBOUNDED
     assert result.stats.certified
+
+
+def test_full_initial_basis_skips_phase1(cpu_config):
+    """All-<= problems have slack pivots covering every row: no phase 1
+    (reference: FullInitialBasis specialization, two_phase/mod.rs:80-109)."""
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.simplex import solve_relaxation
+
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, 2], [3, 1]],
+        [RangedConstraintRelation.less(), RangedConstraintRelation.less()],
+        [4, 6],
+        [-1, -1],
+        [(0, None), (0, None)],
+    )
+    counts = gf.standardize()
+    data = gf.derive_matrix_data(counts)
+    result = solve_relaxation(data, SolverConfig(pad_to=8))
+    assert result.status is SolveStatus.FINITE_OPTIMUM
+    assert result.stats.phase1_iterations == 0
+    assert result.exact_objective == Fraction(-14, 5)
