@@ -51,10 +51,16 @@ def batched_run_chunk(
 
     iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
     v_iter = jax.vmap(iteration, in_axes=(0, 0, 0, 0, 0, 0))
-    batch_state = batch_state._replace(
-        inner=jnp.zeros_like(batch_state.inner)
-    )
     c_scan = c.astype(A_scan.dtype)
+    # Refresh the carried per-LP reduced costs (pi may have changed between
+    # chunks via the vmapped refactorization).
+    d0 = c_scan - jnp.einsum(
+        "bm,bmn->bn", batch_state.pi.astype(A_scan.dtype), A_scan
+    )
+    batch_state = batch_state._replace(
+        inner=jnp.zeros_like(batch_state.inner),
+        d=d0,
+    )
 
     def active_mask(s):
         active = s.status == RUNNING

@@ -30,6 +30,14 @@ def _np_dtype(cfg: SolverConfig):
     return np.float64 if cfg.dtype == "float64" else np.float32
 
 
+def _scan_np_dtype(cfg: SolverConfig):
+    if cfg.scan_dtype in ("same", cfg.dtype):
+        return _np_dtype(cfg)
+    import numpy as _np
+
+    return _np.dtype(cfg.scan_dtype)
+
+
 class DenseEngine:
     name = "dense"
 
@@ -56,6 +64,7 @@ class DenseEngine:
             degen_count=jnp.zeros((), jnp.int32),
             inner=jnp.zeros((), jnp.int32),
             price_start=jnp.zeros((), jnp.int32),
+            d=jnp.zeros(N, dtype=_scan_np_dtype(cfg)),
         )
 
     def refactor(

@@ -121,8 +121,9 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
         scan_dtype = A_scan.dtype
         low_precision_scan = scan_dtype != A_full.dtype
 
-        # --- pricing (in scan precision) ---
-        d = c_scan - state.pi.astype(scan_dtype) @ A_scan
+        # --- pricing (reduced costs carried in the state; refreshed per
+        # chunk and updated by the fused post-pivot scan below) ---
+        d = state.d
         if low_precision_scan:
             # Low-precision reduced costs carry noise ~eps * |pi| * |a|; an
             # absolute 1e-9 threshold would fabricate candidates forever on
@@ -185,13 +186,20 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
         pi_new = cB @ Binv_new
         obj_new = cB @ xB_new
 
-        # --- steepest-edge gamma update (Goldfarb; pivot_rule.rs:243-296),
-        # computed in scan precision (the two full-width scans dominate) ---
+        # --- fused full-width scans: the next iteration's pricing vector
+        # plus (for steepest edge) the two Goldfarb vectors, all in ONE pass
+        # over A_scan.  Big tableaus are HBM-bound, so one stacked (K,M)x(M,N)
+        # matmul instead of three row-vector scans is ~3x less traffic. ---
         if pricing == PRICE_STEEPEST:
             gamma_q_val = (1.0 + w @ w).astype(scan_dtype)
             v = (w @ state.Binv).astype(scan_dtype)  # work vector, OLD inverse
-            abar = Binv_new[r].astype(scan_dtype) @ A_scan  # new pivot row scan
-            inner = v @ A_scan
+            P = jnp.stack(
+                [pi_new.astype(scan_dtype), v, Binv_new[r].astype(scan_dtype)]
+            )
+            S = P @ A_scan
+            d_next = c_scan - S[0]
+            inner = S[1]
+            abar = S[2]  # pivot row of the updated tableau
             gamma_new = gamma - 2.0 * abar * inner + (abar * abar) * gamma_q_val
             gamma_new = jnp.maximum(gamma_new, 1.0 + abar * abar)
             gamma_new = gamma_new.at[leaving].set(
@@ -203,6 +211,7 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
             gamma_new = gamma_new.astype(state.gamma.dtype)
         else:
             gamma_new = state.gamma
+            d_next = c_scan - pi_new.astype(scan_dtype) @ A_scan
 
         degenerate = t <= degen_tol
         degen_new = jnp.where(degenerate, state.degen_count + 1, 0).astype(jnp.int32)
@@ -221,6 +230,7 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
             degen_count=select(degen_new, state.degen_count),
             inner=state.inner + 1,
             price_start=select((q + 1) % N, state.price_start).astype(jnp.int32),
+            d=select(d_next, state.d),
         )
 
     return iteration
@@ -255,8 +265,13 @@ def run_chunk(
     zero means feasible (reference: phase_one.rs on zero artificial cost).
     """
     iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
-    state = state._replace(inner=jnp.zeros((), jnp.int32))
     c_scan = c.astype(A_scan.dtype)
+    # Refresh the carried reduced costs at chunk entry: pi may have changed
+    # outside the loop (refactorization, phase switch, polish scan switch).
+    state = state._replace(
+        inner=jnp.zeros((), jnp.int32),
+        d=c_scan - state.pi.astype(A_scan.dtype) @ A_scan,
+    )
 
     def cond(s: SimplexState):
         running = (s.status == RUNNING) & (s.inner < chunk)

@@ -36,3 +36,4 @@ class SimplexState(NamedTuple):
     degen_count: jnp.ndarray  # () int32 — consecutive degenerate pivots
     inner: jnp.ndarray  # () int32 — iterations taken in the current chunk
     price_start: jnp.ndarray  # () int32 — round-robin pricing resume point
+    d: jnp.ndarray  # (N,) reduced costs in scan precision (for current pi/c)
