@@ -158,6 +158,7 @@ def certify_and_repair(
     for i, j in enumerate(basis):
         objective += provider.cost_value(j) * x[i]
     result.exact_objective = objective
+    result.exact_duals = y
     result.basis = basis
     result.bfs = result.exact_bfs
     result.objective = float(objective)

@@ -46,6 +46,8 @@ class OptimizationResult:
     # Exact rational BFS + objective when certification ran.
     exact_bfs: Optional[SparseVector] = None
     exact_objective: Optional[Fraction] = None
+    # Exact duals (simplex multipliers y, one per structural row).
+    exact_duals: Optional[List[Fraction]] = None
     # Final basis (provider column index per structural row).
     basis: Optional[List[int]] = None
     stats: SolveStats = field(default_factory=SolveStats)

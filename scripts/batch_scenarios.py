@@ -1,0 +1,98 @@
+"""Scenario-batch demo: many perturbed netlib LPs solved in lockstep.
+
+One of the BASELINE configs ("perturbed Netlib instances vmapped per chip"):
+loads a netlib problem, builds N scenarios with rationally perturbed rhs,
+solves them all with the vmapped batch driver on one device, and reports
+throughput + exact certification counts.
+
+Usage: python scripts/batch_scenarios.py [--problem ADLITTLE] [--batch 256]
+"""
+
+import argparse
+import copy
+import os
+import sys
+import time
+from fractions import Fraction
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--problem", default="ADLITTLE")
+    parser.add_argument("--batch", type=int, default=256)
+    parser.add_argument("--certify", type=int, default=8,
+                        help="exactly certify this many scenarios (host cost)")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.io import mps_to_general_form, parse_fixed
+    from relp_tpu.parallel.batch_driver import solve_batch
+    from relp_tpu.simplex.result import SolveStatus
+
+    path = f"/root/reference/tests/netlib/problem_files/{args.problem}.SIF"
+    base = mps_to_general_form(parse_fixed(open(path).read()))
+    base.presolve()
+    counts = base.standardize()
+
+    print(f"device: {jax.devices()[0]}", flush=True)
+    print(f"base problem: {base}", flush=True)
+
+    t0 = time.time()
+    providers = []
+    for s in range(args.batch):
+        gf = copy.deepcopy(base)
+        # Rational rhs perturbation: +/- up to 1% in exact arithmetic.
+        for i in range(len(gf.b)):
+            wobble = Fraction((s * 7919 + i * 104729) % 2001 - 1000, 100_000)
+            gf.b[i] = gf.b[i] * (1 + wobble)
+        providers.append(gf.derive_matrix_data(counts))
+    build_s = time.time() - t0
+
+    cfg = SolverConfig(pad_to=128, chunk_size=150, refactor_period=150)
+    t0 = time.time()
+    results = solve_batch(providers, cfg, certify=False)
+    solve_s = time.time() - t0
+
+    optimal = sum(r.status is SolveStatus.FINITE_OPTIMUM for r in results)
+    infeasible = sum(r.status is SolveStatus.INFEASIBLE for r in results)
+    total_pivots = sum(r.stats.iterations for r in results)
+    print(
+        f"batch={args.batch}: {optimal} optimal, {infeasible} infeasible, "
+        f"{args.batch - optimal - infeasible} other",
+        flush=True,
+    )
+    print(
+        f"build {build_s:.1f}s, solve {solve_s:.1f}s "
+        f"({total_pivots} pivots, {total_pivots / solve_s:.0f} pivots/s, "
+        f"{args.batch / solve_s:.1f} LPs/s)",
+        flush=True,
+    )
+
+    # Exactly certify a sample on the host.
+    from relp_tpu.exact.certify import certify_and_repair
+
+    certified = 0
+    t0 = time.time()
+    sample = [k for k in range(0, args.batch, max(1, args.batch // args.certify))][
+        : args.certify
+    ]
+    for k in sample:
+        r = results[k]
+        if r.status is SolveStatus.FINITE_OPTIMUM and r.basis:
+            certify_and_repair(r, providers[k], r.basis, cfg)
+            certified += r.stats.certified
+    print(
+        f"certified {certified}/{len(sample)} sampled scenarios exactly "
+        f"({time.time()-t0:.1f}s)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
