@@ -38,12 +38,18 @@ def solve_batch(
     config: Optional[SolverConfig] = None,
     *,
     certify: Optional[bool] = None,
+    shared_structure: bool = False,
 ) -> List[OptimizationResult]:
     """Solve a batch of LPs in lockstep on one device.
 
     ``certify`` overrides the per-config exact-certification flag (defaults
     to the config's; certification runs per LP on the host and dominates for
     large batches).
+
+    ``shared_structure=True`` declares that all providers share the same
+    constraint matrix/costs and differ only in the right-hand side (the
+    perturbed-scenario case): the tableau is lowered once instead of per
+    scenario.
     """
     import jax
     import jax.numpy as jnp
@@ -58,17 +64,37 @@ def solve_batch(
     max_rows = max(p.nr_rows() for p in providers)
     probe_M = pad_to_multiple(max(max_rows, 1), cfg.pad_to)
     max_cols = max(p.nr_columns() + probe_M for p in providers)
-    problems = [
-        lower_provider(
-            p,
+    if shared_structure:
+        base = lower_provider(
+            providers[0],
             dtype=dtype,
             pad_to=cfg.pad_to,
             equilibrate=cfg.prescale,
             min_rows=max_rows,
             min_cols=max_cols,
         )
-        for p in providers
-    ]
+        problems = []
+        for p in providers:
+            b_k = np.zeros(base.M, dtype=dtype)
+            for i, v in enumerate(p.right_hand_side()):
+                b_k[i] = float(v)
+            if base.row_scale is not None:
+                b_k *= base.row_scale
+            problems.append(
+                dataclasses.replace(base, b=b_k, provider=p)
+            )
+    else:
+        problems = [
+            lower_provider(
+                p,
+                dtype=dtype,
+                pad_to=cfg.pad_to,
+                equilibrate=cfg.prescale,
+                min_rows=max_rows,
+                min_cols=max_cols,
+            )
+            for p in providers
+        ]
     M, N = problems[0].M, problems[0].N
     assert all(pr.A.shape == (M, N) for pr in problems)
 

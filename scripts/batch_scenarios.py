@@ -56,7 +56,7 @@ def main():
 
     cfg = SolverConfig(pad_to=128, chunk_size=150, refactor_period=150)
     t0 = time.time()
-    results = solve_batch(providers, cfg, certify=False)
+    results = solve_batch(providers, cfg, certify=False, shared_structure=True)
     solve_s = time.time() - t0
 
     optimal = sum(r.status is SolveStatus.FINITE_OPTIMUM for r in results)
