@@ -33,17 +33,41 @@ def _transpose(columns):
     return rows
 
 
-def _basis_columns(provider: MatrixProvider, basis: Sequence[int]):
-    return [provider.column(j).entries() for j in basis]
+def _basis_columns(
+    provider: MatrixProvider, basis: Sequence[int], art_offset: Optional[int] = None
+):
+    """Exact columns for a basis that may include artificials.
+
+    An artificial column ``j >= art_offset`` is the identity column of its
+    row with cost 0 (the phase-2 artificial cost): a basis containing
+    zero-valued artificials still yields a valid primal/dual optimality
+    certificate for the real LP.
+    """
+    columns = []
+    for j in basis:
+        if art_offset is not None and j >= art_offset:
+            columns.append([(j - art_offset, Fraction(1))])
+        else:
+            columns.append(provider.column(j).entries())
+    return columns
+
+
+def _cost_of(provider: MatrixProvider, j: int, art_offset: Optional[int]) -> Fraction:
+    if art_offset is not None and j >= art_offset:
+        return Fraction(0)
+    return provider.cost_value(j)
 
 
 def certify_basis(
-    provider: MatrixProvider, basis: Sequence[int], solver: "ExactSolver" = None
+    provider: MatrixProvider,
+    basis: Sequence[int],
+    solver: "ExactSolver" = None,
+    art_offset: Optional[int] = None,
 ) -> Tuple[List[Fraction], List[Fraction], Optional[int], Optional[int], "ExactSolver"]:
     """Exact x_B, duals y, index of an infeasible row (or None), an entering
     column with exactly negative reduced cost (or None), and the cached
     solver for further solves against this basis."""
-    columns = _basis_columns(provider, basis)
+    columns = _basis_columns(provider, basis, art_offset)
     b = provider.right_hand_side()
     if solver is None:
         solver = ExactSolver(columns)
@@ -54,8 +78,17 @@ def certify_basis(
         if v < 0:
             infeasible_row = i
             break
+        if (
+            art_offset is not None
+            and basis[i] >= art_offset
+            and v != 0
+        ):
+            # A basic artificial with nonzero exact value: the real LP is
+            # not actually satisfied at this point.
+            infeasible_row = i
+            break
 
-    cB = [provider.cost_value(j) for j in basis]
+    cB = [_cost_of(provider, j, art_offset) for j in basis]
     y = solver.transposed().solve(cB)
 
     entering: Optional[int] = None
@@ -78,7 +111,7 @@ def _exact_ratio_test(
     x: List[Fraction],
     q: int,
     solver: "ExactSolver",
-) -> Optional[int]:
+) -> Optional[int]:  # noqa: D401 — unchanged semantics
     """Exact min-ratio row with Bland tie-break on the leaving column index
     (reference: select_primal_pivot_row, tableau/mod.rs:287-313)."""
     a_q = provider.column(q).entries()
@@ -101,6 +134,7 @@ def exact_cleanup(
     provider: MatrixProvider,
     basis: List[int],
     cfg: SolverConfig,
+    art_offset: Optional[int] = None,
 ) -> Tuple[List[int], List[Fraction], List[Fraction], int, bool]:
     """Run exact simplex pivots until exactly optimal (or budget runs out).
 
@@ -108,7 +142,9 @@ def exact_cleanup(
     """
     pivots = 0
     while True:
-        x, y, infeasible_row, entering, solver = certify_basis(provider, basis)
+        x, y, infeasible_row, entering, solver = certify_basis(
+            provider, basis, art_offset=art_offset
+        )
         if infeasible_row is not None:
             # The float solver returned an exactly-infeasible basis; exact
             # primal pivoting can't repair that from here.
@@ -130,14 +166,19 @@ def certify_and_repair(
     provider: MatrixProvider,
     basis: List[int],
     cfg: SolverConfig,
+    art_offset: Optional[int] = None,
 ) -> None:
     """Certify ``result`` in place; repair with exact pivots if needed."""
     basis = list(basis)
     try:
-        x, y, infeasible_row, entering, _solver = certify_basis(provider, basis)
+        x, y, infeasible_row, entering, _solver = certify_basis(
+            provider, basis, art_offset=art_offset
+        )
         optimal = infeasible_row is None and entering is None
         if not optimal and cfg.exact_cleanup and infeasible_row is None:
-            basis, x, y, pivots, optimal = exact_cleanup(provider, basis, cfg)
+            basis, x, y, pivots, optimal = exact_cleanup(
+                provider, basis, cfg, art_offset=art_offset
+            )
             result.stats.exact_cleanup_pivots = pivots
     except ExactSingularError:
         result.stats.certified = False
@@ -156,7 +197,7 @@ def certify_and_repair(
     result.exact_bfs = SparseVector(entries, n)
     objective = Fraction(0)
     for i, j in enumerate(basis):
-        objective += provider.cost_value(j) * x[i]
+        objective += _cost_of(provider, j, art_offset) * x[i]
     result.exact_objective = objective
     result.exact_duals = y
     result.basis = basis

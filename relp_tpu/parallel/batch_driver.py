@@ -199,11 +199,12 @@ def solve_batch(
             wall_time_s=wall,
         )
         ok = feasible[k] and status[k] == OPTIMAL
-        # Any artificial still basic (even at zero level) means the batch
-        # path cannot certify or extract this LP — the single-LP driver has
-        # the drive-out / rank-repair machinery.
+        # Zero-level artificials may stay basic: certification handles them
+        # (identity column, cost 0, exact value must be 0).  Only a clearly
+        # nonzero artificial means the batch solve went wrong.
         artificial_ok = ok and all(
             int(basis_all[k, i]) < problem.art_offset
+            or abs(xB_all[k, i]) <= 1e-6
             for i in range(problem.m_real)
         )
         if not ok or not artificial_ok:
@@ -233,7 +234,13 @@ def solve_batch(
         if certify:
             from relp_tpu.exact.certify import certify_and_repair
 
-            certify_and_repair(result, provider, structural_basis, cfg)
+            certify_and_repair(
+                result,
+                provider,
+                structural_basis,
+                cfg,
+                art_offset=problem.art_offset,
+            )
         else:
             from fractions import Fraction
 

@@ -85,7 +85,13 @@ def main():
     for k in sample:
         r = results[k]
         if r.status is SolveStatus.FINITE_OPTIMUM and r.basis:
-            certify_and_repair(r, providers[k], r.basis, cfg)
+            certify_and_repair(
+                r,
+                providers[k],
+                r.basis,
+                cfg,
+                art_offset=providers[k].nr_columns(),
+            )
             certified += r.stats.certified
     print(
         f"certified {certified}/{len(sample)} sampled scenarios exactly "
