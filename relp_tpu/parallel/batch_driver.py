@@ -6,10 +6,11 @@ shape; phase 1 and phase 2 run as vmapped chunked loops with per-LP freezing;
 refactorization is vmapped.
 
 Scope (documented): artificials left basic at zero level after phase 1 are
-*not* driven out per-LP (they cannot re-enter and their values are checked
-at extraction); LPs that hit numerical trouble or keep nonzero artificials
-fall back to the single-LP driver, which has the full rank-repair and
-certification machinery.
+*not* driven out per-LP — they cannot re-enter, and the exact certifier
+treats them as identity columns at cost 0 whose exact value must be zero
+(a valid primal/dual certificate for the real LP).  LPs that hit numerical
+trouble or keep clearly nonzero artificials fall back to the single-LP
+driver, which has the full rank-repair machinery.
 """
 
 from __future__ import annotations
