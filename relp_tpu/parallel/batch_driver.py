@@ -143,7 +143,12 @@ def solve_batch(
     def run_phase(batch, c, stop_at_zero):
         if pricing == PRICE_STEEPEST:
             batch = batch._replace(gamma=v_gamma(batch.Binv, A_scan, batch.in_basis))
-        max_chunks = max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2
+        # The batched loop has no per-LP Bland/perturbation machinery; a few
+        # degenerate stragglers must not hold the whole batch hostage.  LPs
+        # still RUNNING after the cap fall back to the single-LP driver.
+        max_chunks = min(
+            max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2, 60
+        )
         for _ in range(max_chunks):
             batch = batched_run_chunk(
                 batch, A_scan, A, c, cand, stop_at_zero=stop_at_zero, **kwargs
