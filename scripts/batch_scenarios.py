@@ -61,10 +61,13 @@ def main():
 
     optimal = sum(r.status is SolveStatus.FINITE_OPTIMUM for r in results)
     infeasible = sum(r.status is SolveStatus.INFEASIBLE for r in results)
+    # Batch-extracted results have stats.chunks == 0; fallbacks went through
+    # the single-LP driver.
+    fallbacks = sum(r.stats.chunks > 0 for r in results)
     total_pivots = sum(r.stats.iterations for r in results)
     print(
         f"batch={args.batch}: {optimal} optimal, {infeasible} infeasible, "
-        f"{args.batch - optimal - infeasible} other",
+        f"{args.batch - optimal - infeasible} other, {fallbacks} fallbacks",
         flush=True,
     )
     print(
@@ -78,6 +81,7 @@ def main():
     from relp_tpu.exact.certify import certify_and_repair
 
     certified = 0
+    escalated = 0
     t0 = time.time()
     sample = [k for k in range(0, args.batch, max(1, args.batch // args.certify))][
         : args.certify
@@ -92,10 +96,22 @@ def main():
                 cfg,
                 art_offset=providers[k].nr_columns(),
             )
-            certified += r.stats.certified
+            if not r.stats.certified:
+                # The f32 batch basis was not exactly optimal: run the full
+                # single-LP pipeline (escalation + exact cleanup) as a user
+                # would.
+                from relp_tpu.simplex import solve_relaxation
+
+                r2 = solve_relaxation(
+                    providers[k], cfg, warm_start_basis=r.basis
+                )
+                escalated += 1
+                certified += r2.stats.certified
+            else:
+                certified += 1
     print(
         f"certified {certified}/{len(sample)} sampled scenarios exactly "
-        f"({time.time()-t0:.1f}s)",
+        f"({escalated} needed escalation; {time.time()-t0:.1f}s)",
         flush=True,
     )
 
