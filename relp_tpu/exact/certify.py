@@ -16,12 +16,7 @@ from typing import List, Optional, Sequence, Tuple
 from relp_tpu.config import SolverConfig
 from relp_tpu.linalg.sparse import SparseVector
 from relp_tpu.providers.base import MatrixProvider
-from relp_tpu.exact.dixon import (
-    ExactSingularError,
-    ExactSolver,
-    exact_solve,
-    exact_solve_transpose,
-)
+from relp_tpu.exact.dixon import ExactSingularError, ExactSolver
 
 
 def _transpose(columns):
@@ -111,7 +106,7 @@ def _exact_ratio_test(
     x: List[Fraction],
     q: int,
     solver: "ExactSolver",
-) -> Optional[int]:  # noqa: D401 — unchanged semantics
+) -> Optional[int]:
     """Exact min-ratio row with Bland tie-break on the leaving column index
     (reference: select_primal_pivot_row, tableau/mod.rs:287-313)."""
     a_q = provider.column(q).entries()
