@@ -99,6 +99,11 @@ class SolverConfig:
     # Device platform override (None = let JAX choose).
     platform: Optional[str] = None
 
+    # Runtime BFS invariant checking at refactorization boundaries
+    # (reference: debug_assert_in_basic_feasible_solution_state,
+    # tableau/mod.rs:319-357, which runs per iteration in debug builds).
+    debug_validate: bool = False
+
     def __post_init__(self) -> None:
         if self.dtype not in ("float32", "float64"):
             raise ValueError(f"unsupported dtype {self.dtype!r}")

@@ -180,6 +180,10 @@ def _run_phase(
         if not np.isfinite(residual) or residual > 1e-4:
             state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
             break
+        if cfg.debug_validate and getattr(state, "Binv", None) is not None:
+            from relp_tpu.utils.debug import validate_bfs_state
+
+            validate_bfs_state(state, A_full, b, c, feas_tol=cfg.feas_tol * 1e4)
         if perturbed:
             state = _jitter(state)  # refactor recomputed xB from the true b
         if pricing == PRICE_STEEPEST:

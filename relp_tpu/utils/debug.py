@@ -26,6 +26,56 @@ def format_state(state, max_rows: int = 16) -> str:
     return "\n".join(lines)
 
 
+def validate_bfs_state(state, A, b, c, *, feas_tol: float = 1e-5) -> None:
+    """Runtime basic-feasible-solution invariant check.
+
+    Analog of the reference's debug-build validator
+    ``debug_assert_in_basic_feasible_solution_state`` (tableau/mod.rs:319-357),
+    which at the top of every simplex iteration regenerates every basis column
+    and checks B^-1 B = I, zero reduced costs on basic columns, and b_bar >= 0.
+    Here the check runs on the host at refactorization boundaries when
+    ``SolverConfig.debug_validate`` is set (every-iteration checking would
+    serialize the device loop).
+
+    Raises ``AssertionError`` with a diagnostic message on violation.
+    """
+    basis = np.asarray(state.basis)
+    Binv = np.asarray(state.Binv, dtype=np.float64)
+    xB = np.asarray(state.xB, dtype=np.float64)
+    pi = np.asarray(state.pi, dtype=np.float64)
+    A = np.asarray(A, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+
+    B = A[:, basis]
+    m = B.shape[0]
+    # Tolerances scale with the working dtype of the carried inverse.
+    eps = 1e-4 if np.asarray(state.Binv).dtype == np.float32 else 1e-8
+    scale = 1.0 + np.abs(B).max()
+
+    resid = np.abs(Binv @ B - np.eye(m)).max()
+    assert resid <= eps * scale * m, (
+        f"BFS invariant violated: ||Binv @ B - I||_inf = {resid:.3g} "
+        f"(tol {eps * scale * m:.3g})"
+    )
+    neg = float(xB.min())
+    assert neg >= -feas_tol * scale, (
+        f"BFS invariant violated: basic value {neg:.3g} < -{feas_tol:.3g} "
+        "(b_bar >= 0 fails)"
+    )
+    dB = np.abs(c[basis] - pi @ B).max()
+    assert dB <= eps * scale * m, (
+        f"BFS invariant violated: max |reduced cost on basic column| = "
+        f"{dB:.3g} (should be 0, tol {eps * scale * m:.3g})"
+    )
+    obj = float(c[basis] @ xB)
+    drift = abs(obj - float(state.obj))
+    assert drift <= eps * (1.0 + abs(obj)) * m, (
+        f"BFS invariant violated: carried objective {float(state.obj):.10g} "
+        f"vs cB@xB {obj:.10g}"
+    )
+
+
 def format_problem(problem, max_cols: int = 12) -> str:
     """Summary of a lowered DeviceProblem."""
     return (

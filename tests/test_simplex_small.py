@@ -252,3 +252,60 @@ def test_full_initial_basis_skips_phase1(cpu_config):
     assert result.status is SolveStatus.FINITE_OPTIMUM
     assert result.stats.phase1_iterations == 0
     assert result.exact_objective == Fraction(-14, 5)
+
+
+def test_debug_validate_runs_clean(cpu_config):
+    """The BFS invariant validator (reference
+    debug_assert_in_basic_feasible_solution_state, tableau/mod.rs:319-357)
+    holds at every refactorization boundary of a normal solve."""
+    import dataclasses
+
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, 2], [3, 1], [1, 1]],
+        [
+            RangedConstraintRelation.greater(),
+            RangedConstraintRelation.less(),
+            RangedConstraintRelation.equal(),
+        ],
+        [2, 9, 3],
+        [2, 3],
+        [(0, None), (0, None)],
+    )
+    cfg = dataclasses.replace(cpu_config, debug_validate=True, chunk_size=2,
+                              refactor_period=2)
+    result, solution = solve_general_form(gf, cfg)
+    assert result.status is SolveStatus.FINITE_OPTIMUM
+    assert result.stats.certified
+
+
+def test_debug_validate_catches_corruption():
+    """A corrupted carry (wrong basic values) trips the validator."""
+    import numpy as np
+    import pytest as _pytest
+
+    from relp_tpu.utils.debug import validate_bfs_state
+
+    class FakeState:
+        pass
+
+    m = 3
+    A = np.eye(m)
+    b = np.array([1.0, 2.0, 3.0])
+    c = np.zeros(m)
+    s = FakeState()
+    s.basis = np.arange(m)
+    s.Binv = np.eye(m)
+    s.xB = b.copy()
+    s.pi = np.zeros(m)
+    s.obj = 0.0
+    validate_bfs_state(s, A, b, c)  # clean state passes
+
+    s.xB = b - 1.5  # negative basic value
+    with _pytest.raises(AssertionError, match="b_bar"):
+        validate_bfs_state(s, A, b, c)
+
+    s.xB = b.copy()
+    s.Binv = np.eye(m) * 2.0  # not the basis inverse
+    with _pytest.raises(AssertionError, match="Binv"):
+        validate_bfs_state(s, A, b, c)
