@@ -99,6 +99,14 @@ class SolverConfig:
     # Device platform override (None = let JAX choose).
     platform: Optional[str] = None
 
+    # Use the hand-written Pallas kernel for the fused pricing scan
+    # (relp_tpu/ops/pallas_scan.py) instead of the XLA-compiled stacked
+    # matmul.  Off by default: measured 0.57x on v5e at the bench shape
+    # (a per-iteration pallas_call re-DMAs the tableau from HBM each pivot,
+    # while XLA keeps chunk-loop residency; see docs/ROADMAP.md).  Requires
+    # column count padded to a multiple of 128; ignored otherwise.
+    pallas_scan: bool = False
+
     # Runtime BFS invariant checking at refactorization boundaries
     # (reference: debug_assert_in_basic_feasible_solution_state,
     # tableau/mod.rs:319-357, which runs per iteration in debug builds).

@@ -105,6 +105,11 @@ class DenseEngine:
         self, state, A_scan, A_full, c, candidate_mask, mode, cfg,
         stop_at_zero=False,
     ):
+        import jax
+
+        # The Pallas scan kernel needs lane-aligned tiles; fall back to the
+        # XLA path for odd shapes.  Interpret mode keeps CPU tests honest.
+        pallas = bool(cfg.pallas_scan) and A_scan.shape[1] % 128 == 0
         return kernels.run_chunk(
             state,
             A_scan,
@@ -117,6 +122,8 @@ class DenseEngine:
             pivot_tol=cfg.pivot_tol,
             degen_tol=cfg.feas_tol,
             stop_at_zero=stop_at_zero,
+            pallas_scan=pallas,
+            pallas_interpret=pallas and jax.default_backend() == "cpu",
         )
 
     def recompute_gamma(self, state, A_scan):

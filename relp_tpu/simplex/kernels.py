@@ -105,7 +105,14 @@ def _select_leaving(xB, w, basis, pricing: int, pivot_tol: float, M: int):
     return r, any_positive
 
 
-def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: float):
+def make_iteration(
+    pricing: int,
+    opt_tol: float,
+    pivot_tol: float,
+    degen_tol: float,
+    pallas_scan: bool = False,
+    pallas_interpret: bool = False,
+):
     """Build one fused simplex iteration.
 
     ``A_scan`` is the tableau copy used for the full-width pricing and
@@ -196,12 +203,21 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
             P = jnp.stack(
                 [pi_new.astype(scan_dtype), v, Binv_new[r].astype(scan_dtype)]
             )
-            S = P @ A_scan
-            d_next = c_scan - S[0]
-            inner = S[1]
-            abar = S[2]  # pivot row of the updated tableau
-            gamma_new = gamma - 2.0 * abar * inner + (abar * abar) * gamma_q_val
-            gamma_new = jnp.maximum(gamma_new, 1.0 + abar * abar)
+            if pallas_scan:
+                from relp_tpu.ops import fused_price_scan
+
+                d_next, gamma_new = fused_price_scan(
+                    P, A_scan, c_scan, gamma, gamma_q_val,
+                    interpret=pallas_interpret,
+                )
+                abar = None
+            else:
+                S = P @ A_scan
+                d_next = c_scan - S[0]
+                inner = S[1]
+                abar = S[2]  # pivot row of the updated tableau
+                gamma_new = gamma - 2.0 * abar * inner + (abar * abar) * gamma_q_val
+                gamma_new = jnp.maximum(gamma_new, 1.0 + abar * abar)
             gamma_new = gamma_new.at[leaving].set(
                 jnp.maximum(
                     gamma_q_val / (safe_w_r * safe_w_r).astype(scan_dtype), 1.0
@@ -239,7 +255,8 @@ def make_iteration(pricing: int, opt_tol: float, pivot_tol: float, degen_tol: fl
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero"
+        "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero",
+        "pallas_scan", "pallas_interpret",
     ),
 )
 def run_chunk(
@@ -255,6 +272,8 @@ def run_chunk(
     pivot_tol: float,
     degen_tol: float,
     stop_at_zero: bool = False,
+    pallas_scan: bool = False,
+    pallas_interpret: bool = False,
 ) -> SimplexState:
     """Run up to ``chunk`` pivots on device without host round-trips.
 
@@ -264,7 +283,10 @@ def run_chunk(
     phase-1 termination rule: the artificial cost cannot go below zero, so
     zero means feasible (reference: phase_one.rs on zero artificial cost).
     """
-    iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
+    iteration = make_iteration(
+        pricing, opt_tol, pivot_tol, degen_tol,
+        pallas_scan=pallas_scan, pallas_interpret=pallas_interpret,
+    )
     c_scan = c.astype(A_scan.dtype)
     # Refresh the carried reduced costs at chunk entry: pi may have changed
     # outside the loop (refactorization, phase switch, polish scan switch).
