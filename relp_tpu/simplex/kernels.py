@@ -189,9 +189,16 @@ def make_iteration(
         basis_new = state.basis.at[r].set(q)
         in_basis_new = state.in_basis.at[leaving].set(False).at[q].set(True)
 
-        cB = c[basis_new]
-        pi_new = cB @ Binv_new
-        obj_new = cB @ xB_new
+        # Incremental dual update (one rank-1 instead of a fresh pass over
+        # Binv): pi' = pi + d_q rho_r with rho_r the new pivot row — how the
+        # reference's carry maintains -pi (carry/mod.rs:561-604 change_basis);
+        # drift is repaired at the same refactorization points as Binv.
+        # The objective is recomputed as cB@xB (a cheap M-dot): the
+        # incremental form obj + t d_q is wrong whenever the Harris clamp
+        # zeroes a tolerance-negative leaving value (t uses max(xB_r, 0) but
+        # row r is overwritten), which phase 1 hits routinely.
+        pi_new = state.pi + d_q_full * Binv_r
+        obj_new = c[basis_new] @ xB_new
 
         # --- fused full-width scans: the next iteration's pricing vector
         # plus (for steepest edge) the two Goldfarb vectors, all in ONE pass
