@@ -188,6 +188,34 @@ def test_unicamp_model_data_6():
     assert solution.objective_value == F(28)
 
 
+def test_unicamp_model_data_2_beyond_reference():
+    """The reference ignores this problem ("at least one RHS is needed",
+    unicamp/test.rs:27): the file has no RHS section.  This framework
+    defaults absent right-hand sides to zero and solves it; values match
+    the reference's recorded GLPK expectation exactly."""
+    result, solution = _unicamp("model_data_2.mps")
+    assert solution.objective_value == F(0)
+    assert solution.solution_values == [("DCOL1", F(0))]
+    assert result.stats.certified
+
+
+def test_unicamp_model_data_9_beyond_reference():
+    """The reference ignores this problem ("Unnamed problem files are not
+    supported", unicamp/test.rs:155): the NAME field is empty.  This
+    framework accepts unnamed programs; the solution matches the
+    reference's recorded GLPK expectation exactly (and is certified,
+    where GLPK's was float)."""
+    result, solution = _unicamp("model_data_9.mps")
+    assert solution.objective_value == F(-100)
+    assert solution.solution_values == [
+        ("C0000001", F(0)),
+        ("C0000002", F(1)),
+        ("C0000003", F(1)),
+        ("C0000004", F(0)),
+    ]
+    assert result.stats.certified
+
+
 # --- miplib root relaxations (reference: tests/miplib/test.rs) ---
 
 
