@@ -219,10 +219,6 @@ def test_unicamp_model_data_9_beyond_reference():
 # --- miplib root relaxations (reference: tests/miplib/test.rs) ---
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("RELP_TPU_RUN_SLOW"),
-    reason="~15 min on CPU; set RELP_TPU_RUN_SLOW=1 to run",
-)
 def test_miplib_50v():
     result, solution = solve_suite(
         "miplib", "50v-10.mps", pad_to=128
