@@ -227,7 +227,14 @@ def test_miplib_50v():
     assert abs(float(solution.objective_value) - 2879.065687) < 1e-3
 
 
-@pytest.mark.skip(reason="Reference-ignored: too computationally expensive.")
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RELP_TPU_RUN_SLOW"),
+    reason="~21 min (solved + exactly certified on the TPU chip: objective 0, "
+    "41 simplex iterations; the reference ignores this problem as too "
+    "computationally expensive). Set RELP_TPU_RUN_SLOW=1 to run.",
+)
 def test_miplib_acc_tight4():
     result, solution = solve_suite("miplib", "acc-tight4.mps", pad_to=128)
+    assert result.status is SolveStatus.FINITE_OPTIMUM
     assert abs(float(solution.objective_value) - 0.0) < 1e-3
+    assert result.stats.certified
