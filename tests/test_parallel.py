@@ -149,3 +149,97 @@ def test_driver_with_mesh(cpu_config):
     assert sharded.status is plain.status
     assert sharded.exact_objective == plain.exact_objective
     assert sharded.basis == plain.basis
+
+
+def test_newton_refresh_matches_refactorize():
+    """Newton-Schulz refresh from a drifted inverse reaches the same basis
+    quantities as a fresh factorization (kernels.newton_refresh — the
+    TPU-native replacement for batched linalg.inv in the batch driver)."""
+    import jax.numpy as jnp
+
+    from relp_tpu.simplex import kernels
+
+    rng = np.random.default_rng(5)
+    M, N = 16, 40
+    A = rng.standard_normal((M, N))
+    A[:, N - M:] = np.eye(M)
+    b = np.abs(rng.standard_normal(M))
+    c = rng.standard_normal(N)
+    basis = np.asarray(rng.choice(N, M, replace=False), np.int32)
+    B = A[:, basis]
+    exact = np.linalg.inv(B)
+    drifted = exact + 1e-4 * rng.standard_normal((M, M))
+
+    X, xB, pi, obj, residual = kernels.newton_refresh(
+        jnp.asarray(drifted), jnp.asarray(A), jnp.asarray(b), jnp.asarray(c),
+        jnp.asarray(basis), steps=3,
+    )
+    assert float(residual) < 1e-8
+    Xr, xBr, pir, objr, resr = kernels.refactorize(
+        jnp.asarray(A), jnp.asarray(b), jnp.asarray(c), jnp.asarray(basis),
+        newton_steps=3,
+    )
+    np.testing.assert_allclose(np.asarray(xB), np.asarray(xBr), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(pi), np.asarray(pir), atol=1e-8)
+    assert abs(float(obj) - float(objr)) < 1e-8
+
+
+def test_device_cadence_batched_chunk(cpu_config):
+    """batched_run_chunk with the on-device refactorization cadence reaches
+    the same per-LP optima as the host-cadence path."""
+    import dataclasses
+
+    from relp_tpu.parallel.batch_driver import solve_batch
+
+    providers = [_provider(6 + s)[0] for s in range(4)]
+    cfg = dataclasses.replace(cpu_config, pad_to=8)
+    base = solve_batch(providers, cfg, certify=True)
+
+    # Drive the raw chunk runner with device cadence on the same problems.
+    import jax.numpy as jnp
+
+    from relp_tpu.parallel.batch import batched_run_chunk, make_batch_state
+    from relp_tpu.simplex.engine import DenseEngine
+    from relp_tpu.simplex.kernels import PRICE_STEEPEST
+    from relp_tpu.simplex.lowering import lower_provider
+    from relp_tpu.simplex.state import OPTIMAL
+
+    engine = DenseEngine()
+    max_rows = max(p.nr_rows() for p in providers)
+    from relp_tpu.linalg.device import pad_to_multiple
+    probe_M = pad_to_multiple(max_rows, 8)
+    max_cols = max(p.nr_columns() + probe_M for p in providers)
+    problems = [
+        lower_provider(p, dtype=np.float32, pad_to=8, min_rows=max_rows,
+                       min_cols=max_cols)
+        for p in providers
+    ]
+    states = [engine.init_state(pr, cfg) for pr in problems]
+    batch = make_batch_state(states)
+    A = jnp.asarray(np.stack([pr.A for pr in problems]))
+    b = jnp.asarray(np.stack([pr.b for pr in problems]))
+    c1 = jnp.asarray(np.stack([pr.c_phase1 for pr in problems]))
+    c2 = jnp.asarray(np.stack([pr.c_phase2 for pr in problems]))
+    cand = jnp.asarray(np.stack([pr.candidate_mask for pr in problems]))
+    kw = dict(pricing=PRICE_STEEPEST, chunk=400, opt_tol=cfg.opt_tol,
+              pivot_tol=cfg.pivot_tol, degen_tol=cfg.feas_tol,
+              refactor_period=10, b=b, feas_tol=cfg.feas_tol)
+    batch = batched_run_chunk(batch, A, A, c1, cand, stop_at_zero=True, **kw)
+    # phase transition: feasible LPs continue with real costs
+    from relp_tpu.simplex.state import RUNNING
+    import jax
+    batch = batch._replace(
+        status=jnp.where(np.asarray(batch.obj) <= 1e-6, RUNNING,
+                         batch.status).astype(jnp.int32))
+    from relp_tpu.simplex import kernels as K
+    Binv, xB, pi, obj, _ = jax.vmap(
+        lambda Bi, Aa, bb, cc, bs: K.newton_refresh(Bi, Aa, bb, cc, bs, steps=3),
+        in_axes=(0, 0, 0, 0, 0),
+    )(batch.Binv, A, b, c2, batch.basis)
+    batch = batch._replace(Binv=Binv, xB=xB, pi=pi, obj=obj)
+    batch = batched_run_chunk(batch, A, A, c2, cand, **kw)
+    status = np.asarray(batch.status)
+    assert (status == OPTIMAL).all()
+    for k, r in enumerate(base):
+        if r.objective is not None:
+            assert abs(float(np.asarray(batch.obj)[k]) - r.objective) < 1e-4
