@@ -28,9 +28,26 @@ import numpy as np
 RELP_PROXY_ITERS_PER_S = 1000.0
 
 
-def _measure(kernels, state0, A_scan, A_full, c, cand, pricing, chunks=(10, 300)):
-    import jax
+def _perturb(state0, rep):
+    """A per-rep distinct input state.
 
+    No two timed dispatches may be identical: the axon tunnel can serve
+    repeated identical dispatches from a cache (CLAUDE.md gotcha (a)), which
+    would make min-of-reps time a cache serve instead of device compute.
+    A tiny positive shift of the basic values keeps the pivot walk intact
+    while making every dispatch's input buffer unique.
+    """
+    return state0._replace(xB=state0.xB + (1e-9 * (rep + 1)))
+
+
+def _measure(kernels, state0, A_scan, A_full, c, cand, pricing, chunks=(10, 300)):
+    """Marginal per-pivot time via interleaved A/B chunk differencing.
+
+    Small/large chunk runs are interleaved (A, B, A, B, ...) so slow drift
+    in chip contention cancels in the per-rep differences; the median of the
+    positive per-rep estimates is reported, with a conservative whole-run
+    fallback when contention noise swamps the differencing.
+    """
     kw = dict(
         pricing=pricing,
         chunk=chunks[0],
@@ -39,28 +56,36 @@ def _measure(kernels, state0, A_scan, A_full, c, cand, pricing, chunks=(10, 300)
         degen_tol=1e-7,
     )
 
-    def run(chunk, reps=3):
+    def run_once(chunk, rep):
+        kw["chunk"] = chunk
+        st = _perturb(state0, rep)
+        t0 = time.time()
+        out = kernels.run_chunk(st, A_scan, A_full, c, cand, **kw)
+        iters = int(out.iteration)  # forcing sync through the tunnel
+        return time.time() - t0, iters
+
+    for chunk in chunks:  # compile both shapes outside the timed region
         kw["chunk"] = chunk
         out = kernels.run_chunk(state0, A_scan, A_full, c, cand, **kw)
-        _ = int(out.iteration)  # compile + force
-        best = float("inf")
-        iters = 0
-        for _ in range(reps):
-            t0 = time.time()
-            out = kernels.run_chunk(state0, A_scan, A_full, c, cand, **kw)
-            iters = int(out.iteration)  # forcing sync through the tunnel
-            best = min(best, time.time() - t0)
-        return best, iters
+        _ = int(out.iteration)
 
-    d_small, i_small = run(chunks[0])
-    d_big, i_big = run(chunks[1])
-    if i_big <= i_small:
-        return None, i_big
-    per_it = (d_big - d_small) / (i_big - i_small)
-    if per_it <= 0:
+    reps = 4
+    estimates = []
+    d_big_all, i_big = [], 0
+    for rep in range(reps):
+        d_small, i_small = run_once(chunks[0], rep)
+        d_big, i_big = run_once(chunks[1], rep)
+        d_big_all.append(d_big)
+        if i_big > i_small and d_big > d_small:
+            estimates.append((d_big - d_small) / (i_big - i_small))
+    if estimates:
+        per_it = float(np.median(estimates))
+    elif i_big > 0:
         # Contention noise: fall back to the conservative estimate that
         # includes the fixed dispatch overhead.
-        per_it = d_big / i_big
+        per_it = min(d_big_all) / i_big
+    else:
+        return None, i_big
     return per_it, i_big
 
 
@@ -126,23 +151,11 @@ def main():
     c_b = jnp.asarray(np.stack(cs))
     cand_b = jnp.asarray(np.stack(cands))
 
-    def run_batch(chunk):
-        out = batched_run_chunk(
-            batch,
-            A_b,
-            A_b,
-            c_b,
-            cand_b,
-            pricing=kernels.PRICE_STEEPEST,
-            chunk=chunk,
-            opt_tol=1e-7,
-            pivot_tol=1e-7,
-            degen_tol=1e-7,
-        )
-        total = int(np.asarray(out.iteration).sum())
+    def run_batch(chunk, rep):
+        st = batch._replace(xB=batch.xB + (1e-9 * (rep + 1)))
         t0 = time.time()
         out = batched_run_chunk(
-            batch,
+            st,
             A_b,
             A_b,
             c_b,
@@ -157,11 +170,23 @@ def main():
         return time.time() - t0, total
 
     try:
-        d_s, i_s = run_batch(10)
-        d_b2, i_b2 = run_batch(120)
-        batch_per_pivot = (
-            (d_b2 - d_s) / (i_b2 - i_s) if i_b2 > i_s else None
-        )
+        for chunk in (10, 120):  # compile outside the timed region
+            run_batch(chunk, -1)
+        batch_estimates = []
+        d_big_all, i_b2 = [], 0
+        for rep in range(4):  # interleaved A/B, same as _measure
+            d_s, i_s = run_batch(10, rep)
+            d_b2, i_b2 = run_batch(120, rep)
+            d_big_all.append(d_b2)
+            if i_b2 > i_s and d_b2 > d_s:
+                batch_estimates.append((d_b2 - d_s) / (i_b2 - i_s))
+        if batch_estimates:
+            batch_per_pivot = float(np.median(batch_estimates))
+        elif i_b2 > 0:
+            # Contention fallback incl. dispatch overhead — never negative.
+            batch_per_pivot = min(d_big_all) / i_b2
+        else:
+            batch_per_pivot = None
     except Exception:  # noqa: BLE001 — batch metric is best-effort detail
         batch_per_pivot = None
 

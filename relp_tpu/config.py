@@ -119,6 +119,15 @@ class SolverConfig:
             raise ValueError(f"unsupported scan_dtype {self.scan_dtype!r}")
         if self.basis_inverse not in ("dense", "lu"):
             raise ValueError(f"unsupported basis_inverse {self.basis_inverse!r}")
+        # Remember the pre-clamp tolerances: dataclasses.replace() rebuilds
+        # from the (possibly f32-clamped) field values, so dtype escalation
+        # in the driver must restore these to get genuine f64 tolerances.
+        self.requested_tolerances = {
+            "opt_tol": self.opt_tol,
+            "pivot_tol": self.pivot_tol,
+            "feas_tol": self.feas_tol,
+            "phase1_tol": self.phase1_tol,
+        }
         if self.dtype == "float32":
             # f32 working precision: tolerances below f32 resolution are
             # noise; the exact certifier (and the f64 escalation in the

@@ -256,18 +256,30 @@ def certify_infeasible(
     return True
 
 
-def certify_unbounded(provider: MatrixProvider, basis: Sequence[int]) -> bool:
+def certify_unbounded(
+    provider: MatrixProvider,
+    basis: Sequence[int],
+    art_offset: Optional[int] = None,
+) -> bool:
     """Exactly certify unboundedness at the current basis: some column has
     exactly negative reduced cost and an exactly nonpositive FTRAN column
-    (an improving ray; reference: OptimizationResult::Unbounded)."""
-    columns = _basis_columns(provider, basis)
+    (an improving ray; reference: OptimizationResult::Unbounded).
+
+    The basis may contain zero-level artificials (index >= ``art_offset``):
+    they are treated as identity columns at cost 0 and their exact basic
+    value must be 0, so the certificate still applies to the real LP."""
+    columns = _basis_columns(provider, basis, art_offset)
     b = provider.right_hand_side()
     try:
         solver = ExactSolver(columns)
         x = solver.solve(b)
         if any(v < 0 for v in x):
             return False  # not even a feasible basis
-        cB = [provider.cost_value(j) for j in basis]
+        if art_offset is not None and any(
+            x[i] != 0 for i, j in enumerate(basis) if j >= art_offset
+        ):
+            return False  # nonzero artificial: the real LP is not satisfied
+        cB = [_cost_of(provider, j, art_offset) for j in basis]
         y = solver.transposed().solve(cB)
     except ExactSingularError:
         return False

@@ -361,7 +361,12 @@ def _lift_and_reconstruct(
             scaled = (y_mod_i * den) % modulus
             if scaled > half:
                 scaled -= modulus
-            if abs(scaled) <= bound * den:
+            # The shared-denominator fast path is only sound while
+            # bound*den < half: scaled is already reduced into (-half, half],
+            # so once den >= half/bound the acceptance test is vacuously true
+            # and a wrong numerator could slip through (it would then fail
+            # the final exact verification and needlessly abort the solve).
+            if bound * den < half and abs(scaled) <= bound * den:
                 y[i] = Fraction(scaled, den)
             else:
                 rec = _rational_reconstruct(y_mod_i, modulus, bound)

@@ -220,6 +220,14 @@ def solve_batch(
         batch, _ = refactor(batch, c2)
         batch = batched_run_chunk(batch, A, A, c2, cand, **kwargs)
 
+    # Final from-scratch refactorization: extraction must never trust a
+    # carried inverse (a diverged Binv can exit the chunk loop with a
+    # spuriously OPTIMAL status).  The refactorize residual and the
+    # basis-exact xB feasibility gate below route such LPs to the single-LP
+    # driver fallback instead of returning garbage as FINITE_OPTIMUM.
+    batch, final_residual = refactor(batch, c2)
+    final_residual = np.asarray(final_residual)
+
     wall = time.time() - t0
 
     # --- extraction ---
@@ -228,6 +236,7 @@ def solve_batch(
     basis_all = np.asarray(batch.basis)
     xB_all = np.asarray(batch.xB)
     iters = np.asarray(batch.iteration)
+    n_fallback = 0
     for k, (provider, problem) in enumerate(zip(providers, problems)):
         stats = SolveStats(
             iterations=int(iters[k]),
@@ -235,6 +244,13 @@ def solve_batch(
             wall_time_s=wall,
         )
         ok = feasible[k] and status[k] == OPTIMAL
+        # Numerics gate on the basis-exact state: finite, small
+        # refactorization residual and primal-feasible recomputed xB.
+        numerics_ok = ok and (
+            np.isfinite(final_residual[k])
+            and final_residual[k] <= 1e-4
+            and float(xB_all[k, : problem.m_real].min()) >= -cfg.feas_tol
+        )
         # Zero-level artificials may stay basic: certification handles them
         # (identity column, cost 0, exact value must be 0).  Only a clearly
         # nonzero artificial means the batch solve went wrong.
@@ -243,12 +259,9 @@ def solve_batch(
             or abs(xB_all[k, i]) <= 1e-6
             for i in range(problem.m_real)
         )
-        if not ok or not artificial_ok:
-            # Fall back to the full single-LP driver for this one.
-            from relp_tpu.simplex.driver import solve_relaxation
-
-            single_cfg = dataclasses.replace(cfg, certify=certify)
-            results.append(solve_relaxation(provider, single_cfg))
+        if not ok or not numerics_ok or not artificial_ok:
+            results.append(_single_lp_fallback(provider, cfg, certify))
+            n_fallback += 1
             continue
 
         structural_basis = [int(basis_all[k, i]) for i in range(problem.m_real)]
@@ -277,6 +290,13 @@ def solve_batch(
                 cfg,
                 art_offset=problem.art_offset,
             )
+            if not result.stats.certified:
+                # Documented contract: numerically-troubled LPs fall back to
+                # the single-LP driver (which has the full f64 escalation
+                # ladder), rather than shipping an uncertified result.
+                results.append(_single_lp_fallback(provider, cfg, certify))
+                n_fallback += 1
+                continue
         else:
             from fractions import Fraction
 
@@ -284,4 +304,25 @@ def solve_batch(
                 [(j, Fraction(float(v))) for j, v in entries], problem.n_real
             )
         results.append(result)
+    if n_fallback:
+        import logging
+
+        logging.getLogger("relp_tpu.batch").info(
+            "batch solve: %d/%d LPs fell back to the single-LP driver",
+            n_fallback,
+            len(providers),
+        )
     return results
+
+
+def _single_lp_fallback(
+    provider: MatrixProvider, cfg: SolverConfig, certify: bool
+) -> OptimizationResult:
+    """Solve one LP through the full single-LP driver (rank repair, Bland,
+    f64 escalation); used for batch members that failed the lockstep path."""
+    from relp_tpu.simplex.driver import solve_relaxation
+
+    single_cfg = dataclasses.replace(cfg, certify=certify)
+    result = solve_relaxation(provider, single_cfg)
+    result.stats.batch_fallback = True
+    return result

@@ -257,6 +257,10 @@ def solve_relaxation(
 
     cfg0 = config or default_config()
     result = _solve_relaxation_once(provider, cfg0, warm_start_basis, mesh)
+    # __post_init__ clamps tolerances in place for f32; dtype escalation must
+    # restore the user-requested (pre-clamp) values or the "conservative"
+    # f64 retries would run with f32-grade tolerances.
+    tol_reset = getattr(cfg0, "requested_tolerances", {})
     if result.status is SolveStatus.NUMERICAL_ERROR:
         # Escalation ladder: f64 with a tighter refactorization cadence
         # first (fixes drift-induced singular bases, e.g. netlib CYCLE),
@@ -267,14 +271,20 @@ def solve_relaxation(
                 dtype="float64",
                 refactor_period=min(cfg0.refactor_period, 60),
                 chunk_size=min(cfg0.chunk_size, 60),
+                **tol_reset,
             ),
             dataclasses.replace(
                 cfg0,
                 dtype="float64",
-                pivot_tol=max(cfg0.pivot_tol, 1e-7),
                 refactor_period=30,
                 chunk_size=30,
                 scan_dtype="same",
+                **{
+                    **tol_reset,
+                    "pivot_tol": max(
+                        tol_reset.get("pivot_tol", cfg0.pivot_tol), 1e-7
+                    ),
+                },
             ),
         ):
             result = _solve_relaxation_once(
@@ -299,7 +309,7 @@ def solve_relaxation(
         # f32 escalation: the fast path found something uncertifiable —
         # re-solve at working f64 (warm-started from the f32 basis when one
         # exists).
-        retry_cfg = dataclasses.replace(cfg0, dtype="float64")
+        retry_cfg = dataclasses.replace(cfg0, dtype="float64", **tol_reset)
         warm = result.basis if result.basis else warm_start_basis
         result = _solve_relaxation_once(provider, retry_cfg, warm, mesh)
     return result
@@ -459,10 +469,12 @@ def _solve_relaxation_once(
 
             basis_np = np.asarray(state.basis)
             structural = [int(basis_np[i]) for i in range(problem.m_real)]
-            if all(j < problem.n_real for j in structural):
-                stats.certified = certify_unbounded(
-                    problem.provider, structural
-                )
+            # Zero-level artificials may still be basic; the certifier
+            # substitutes them as zero-cost identity columns and requires
+            # their exact value to be 0 (no silent certification skip).
+            stats.certified = certify_unbounded(
+                problem.provider, structural, art_offset=problem.art_offset
+            )
         return _finish(cfg, stats, t_start, SolveStatus.UNBOUNDED)
 
     # --- extract the BFS over provider columns ---

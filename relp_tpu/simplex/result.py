@@ -34,6 +34,9 @@ class SolveStats:
     certified: bool = False
     wall_time_s: float = 0.0
     removed_rows: List[int] = field(default_factory=list)
+    # True when this LP was part of a batch solve but was routed through the
+    # single-LP driver (numerics/certification gate or straggler cap).
+    batch_fallback: bool = False
 
 
 @dataclass

@@ -1,19 +1,43 @@
-"""Netlib integration gates.
+"""Netlib integration gates — the full reference suite, pytest-parametrized.
 
 Mirror of the reference's ``tests/netlib`` harness (mod.rs:46-70 + test.rs):
 parse_fixed -> GeneralForm -> presolve -> standardize -> MatrixData -> solve
 -> reconstruct, asserting |objective - expected| < tol with the expected
 values the reference sources from Gurobi / CLP / GLPK / Koch.
 
+Every problem in ``netlib_expected.NETLIB_EXPECTED`` is gated here (the
+reference gates 36 of 48 in CI and #[ignore]s 12 as too slow for exact
+single-core arithmetic); problems slower than ~20 s on the CPU backend run
+only with ``RELP_TPU_RUN_SLOW=1``.  A presolve/kernel regression in any
+default-on problem therefore fails ``pytest tests/``.
+
 Problem files are read from the read-only reference mount.
 """
+
+import os
 
 import pytest
 
 from tests.conftest import reference_problem
+from tests.netlib_expected import NETLIB_EXPECTED
 from relp_tpu.config import SolverConfig
 from relp_tpu.io import mps_to_general_form, parse_fixed
 from relp_tpu.simplex import SolveStatus, solve_general_form
+
+# Problems slower than ~20 s on the CPU backend (measured:
+# docs/results/netlib_cpu_resweep.json); default-off to keep `pytest tests/`
+# fast, on under RELP_TPU_RUN_SLOW=1.  80BAU3B additionally needs the large
+# budget of the sweep script (docs/ROADMAP.md item 8).
+SLOW = {
+    "25FV47": "~30 s",
+    "80BAU3B": "CPU timeout at 600 s (solved + certified on TPU)",
+    "BNL2": "~140 s",
+    "CYCLE": "~160 s",
+    "GREENBEA": "~360 s",
+    "GREENBEB": "~260 s",
+}
+
+RUN_SLOW = bool(os.environ.get("RELP_TPU_RUN_SLOW"))
 
 
 def solve_netlib(name: str, **cfg_overrides):
@@ -39,35 +63,24 @@ def check_netlib(name: str, expected: float, tol: float, **cfg_overrides):
     return result
 
 
-# Expected objectives as in reference tests/netlib/test.rs.
-def test_afiro():
+@pytest.mark.parametrize("name", sorted(NETLIB_EXPECTED))
+def test_netlib(name):
+    if name in SLOW and not RUN_SLOW:
+        pytest.skip(f"slow on CPU ({SLOW[name]}); set RELP_TPU_RUN_SLOW=1")
+    expected, tol, _ignored = NETLIB_EXPECTED[name]
+    # The sweep-validated configuration (scripts/netlib_sweep.py defaults):
+    # f64 carry + f32 scans, refactor/chunk cadence 100.
+    check_netlib(
+        f"{name}.SIF",
+        expected,
+        tol,
+        pad_to=128,
+        dtype="float64",
+        scan_dtype="float32",
+    )
+
+
+def test_afiro_certified():
+    """AFIRO end-to-end on the default f32 fast path must exactly certify."""
     result = check_netlib("AFIRO.SIF", -4.6475314286e02, 1e-4)
     assert result.stats.certified
-
-
-def test_adlittle():
-    check_netlib("ADLITTLE.SIF", 2.2549496316e05, 1e-3)
-
-
-def test_sc50a():
-    check_netlib("SC50A.SIF", -6.4575077059e01, 1e-5)
-
-
-def test_sc50b():
-    check_netlib("SC50B.SIF", -7.0000000000e01, 1e-5)
-
-
-def test_blend():
-    check_netlib("BLEND.SIF", -3.0812149846e01, 1e-5)
-
-
-def test_share2b():
-    check_netlib("SHARE2B.SIF", -4.1573224074e02, 1e-3)
-
-
-def test_sc105():
-    check_netlib("SC105.SIF", -5.2202061212e01, 1e-5)
-
-
-def test_stocfor1():
-    check_netlib("STOCFOR1.SIF", -4.1131976219e04, 1e-3)

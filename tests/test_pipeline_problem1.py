@@ -127,8 +127,7 @@ def test_conversion_pipeline():
     )
 
 
-def test_problem_2_direct_matrix_data():
-    """reference: src/tests/problem_2.rs — MatrixData built directly."""
+def _problem_2_matrix_data():
     from relp_tpu.providers.matrix_data import MatrixData
 
     constraints = SparseColumnMatrix.from_dense(
@@ -142,7 +141,7 @@ def test_problem_2_direct_matrix_data():
     variables = [
         Variable(VariableType.CONTINUOUS, F(1), F(0), None) for _ in range(5)
     ]
-    data = MatrixData(
+    return MatrixData(
         constraints=constraints,
         b=b,
         ranges=[],
@@ -152,8 +151,86 @@ def test_problem_2_direct_matrix_data():
         nr_lower=0,
         variables=variables,
     )
+
+
+def test_problem_2_direct_matrix_data():
+    """reference: src/tests/problem_2.rs — MatrixData built directly."""
+    data = _problem_2_matrix_data()
     cfg = SolverConfig(pad_to=8, pricing="first")
     result = solve_relaxation(data, cfg)
     assert result.status is SolveStatus.FINITE_OPTIMUM
     # reference expectation: x = (0, 1/2, 0, 5/2, 3/2).
     assert dict(result.bfs.entries) == {1: F(1, 2), 3: F(5, 2), 4: F(3, 2)}
+
+
+def test_problem_2_conversion_pipeline():
+    """reference: src/tests/problem_2.rs conversion_pipeline — every layer
+    boundary of the two-phase solve pinned to hand-built expectations.
+
+    The reference materializes the artificial tableau (Carry: -obj = -8,
+    -pi = [-1,-1,-1], b-bar = [1,3,4], all-artificial basis), the
+    post-phase-1 NonArtificial tableau (Carry: -obj = -9/2,
+    -pi = [5/2,-1,-1], b-bar = [1/2,5/2,3/2], basis [1,3,4], explicit
+    B^-1 rows) and the phase-2 optimum; this test pins the same three
+    boundaries on the device state (our state stores +pi; the reference
+    stores -pi — same convention for reduced costs c_j - pi.a_j).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from relp_tpu.simplex.engine import DenseEngine
+    from relp_tpu.simplex.kernels import PRICE_FIRST
+    from relp_tpu.simplex.lowering import lower_provider
+    from relp_tpu.simplex.result import SolveStats
+    from relp_tpu.simplex.state import OPTIMAL, RUNNING
+
+    data = _problem_2_matrix_data()
+    cfg = SolverConfig(
+        pad_to=8, pricing="first", dtype="float64", chunk_size=20,
+        refactor_period=20,
+    )
+    problem = lower_provider(data, dtype=np.float64, pad_to=8)
+    assert (problem.m_real, problem.n_real, problem.art_offset) == (3, 5, 5)
+
+    engine = DenseEngine()
+    A = jnp.asarray(problem.A)
+    b = jnp.asarray(problem.b)
+    c1 = jnp.asarray(problem.c_phase1)
+    c2 = jnp.asarray(problem.c_phase2)
+    mask = jnp.asarray(problem.candidate_mask)
+
+    # --- artificial tableau (reference: artificial_tableau_form) ---
+    state = engine.init_state(problem, cfg)
+    assert np.asarray(state.basis)[:3].tolist() == [5, 6, 7]  # artificials
+    assert np.asarray(state.xB)[:3].tolist() == [1.0, 3.0, 4.0]
+    assert float(state.obj) == 8.0  # reference minus_objective = -8
+    assert np.asarray(state.pi)[:3].tolist() == [1.0, 1.0, 1.0]  # -(-pi)
+    assert np.allclose(np.asarray(state.Binv), np.eye(8))
+
+    # --- phase 1 (FirstProfitable) ---
+    state = engine.run_chunk(state, A, A, c1, mask, PRICE_FIRST, cfg,
+                             stop_at_zero=True)
+    assert float(state.obj) == 0.0
+
+    # --- post-phase-1 tableau (reference: tableau_form) ---
+    stats = SolveStats()
+    state, residual = engine.refactor(state, A, b, c2, cfg, stats)
+    assert residual < 1e-12
+    assert np.asarray(state.basis)[:3].tolist() == [1, 3, 4]
+    assert np.asarray(state.xB)[:3].tolist() == [0.5, 2.5, 1.5]
+    assert float(state.obj) == 4.5  # reference minus_objective = -9/2
+    assert np.asarray(state.pi)[:3].tolist() == [-2.5, 1.0, 1.0]
+    assert np.asarray(state.Binv)[:3, :3].tolist() == [
+        [0.5, 0.0, 0.0],
+        [-0.5, 1.0, 0.0],
+        [-2.5, 0.0, 1.0],
+    ]
+
+    # --- phase 2: already optimal, zero further pivots ---
+    iters_before = int(state.iteration)
+    state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
+    state = engine.run_chunk(state, A, A, c2, mask, PRICE_FIRST, cfg)
+    assert int(state.status) == OPTIMAL
+    assert int(state.iteration) == iters_before
+    assert np.asarray(state.basis)[:3].tolist() == [1, 3, 4]
+    assert np.asarray(state.xB)[:3].tolist() == [0.5, 2.5, 1.5]
