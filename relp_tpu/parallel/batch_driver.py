@@ -40,8 +40,9 @@ def solve_batch(
     *,
     certify: Optional[bool] = None,
     shared_structure: bool = False,
+    mesh=None,
 ) -> List[OptimizationResult]:
-    """Solve a batch of LPs in lockstep on one device.
+    """Solve a batch of LPs in lockstep on one device or across a mesh.
 
     ``certify`` overrides the per-config exact-certification flag (defaults
     to the config's; certification runs per LP on the host and dominates for
@@ -51,6 +52,11 @@ def solve_batch(
     constraint matrix/costs and differ only in the right-hand side (the
     perturbed-scenario case): the tableau is lowered once instead of per
     scenario.
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with "batch" and "col" axes) shards
+    the LP scenarios over the "batch" axis and the tableau columns over the
+    "col" axis — dp x tp composed; GSPMD partitions the vmapped chunk loop
+    and inserts the pricing argmax combine over ICI.
     """
     import jax
     import jax.numpy as jnp
@@ -100,11 +106,8 @@ def solve_batch(
     assert all(pr.A.shape == (M, N) for pr in problems)
 
     A = jnp.asarray(np.stack([pr.A for pr in problems]))
-    A_scan = (
-        A.astype(jnp.dtype(cfg.scan_dtype))
-        if cfg.scan_dtype not in ("same", cfg.dtype)
-        else A
-    )
+    mixed = cfg.scan_dtype not in ("same", cfg.dtype)
+    A_scan = A.astype(jnp.dtype(cfg.scan_dtype)) if mixed else A
     b = jnp.asarray(np.stack([pr.b for pr in problems]))
     c1 = jnp.asarray(np.stack([pr.c_phase1 for pr in problems]))
     c2 = jnp.asarray(np.stack([pr.c_phase2 for pr in problems]))
@@ -112,6 +115,21 @@ def solve_batch(
 
     states = [engine.init_state(pr, cfg) for pr in problems]
     batch = make_batch_state(states)
+
+    if mesh is not None:
+        from relp_tpu.parallel.sharded import (
+            shard_batch_problem,
+            shard_batch_state,
+        )
+
+        with mesh:
+            A, b, c1, cand, A_scan = shard_batch_problem(
+                mesh, A, b, c1, cand, A_scan=A_scan if mixed else None
+            )
+            if not mixed:
+                A_scan = A
+            c2 = jax.device_put(c2, c1.sharding)
+            batch = shard_batch_state(mesh, batch)
 
     from relp_tpu.simplex import kernels
 
@@ -213,7 +231,7 @@ def solve_batch(
 
     # Phase 2 + full-precision polish.
     batch = run_phase(batch, c2, stop_at_zero=False)
-    if A_scan is not A:
+    if mixed:
         status = np.asarray(batch.status)
         polish = np.where(status == OPTIMAL, RUNNING, status)
         batch = batch._replace(status=jnp.asarray(polish.astype(np.int32)))

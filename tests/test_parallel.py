@@ -151,6 +151,133 @@ def test_driver_with_mesh(cpu_config):
     assert sharded.basis == plain.basis
 
 
+def test_sharded_batch_driver(cpu_config):
+    """solve_batch over a batch x col mesh reproduces the unsharded batch
+    results exactly (dp x tp composed in the real driver)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from relp_tpu.parallel.batch_driver import solve_batch
+    from relp_tpu.parallel.mesh import make_mesh
+
+    scenarios = [6, 7, 8, 9]
+    plain = solve_batch([_provider(b2)[0] for b2 in scenarios], cpu_config)
+    mesh = make_mesh((2, 4))
+    sharded = solve_batch(
+        [_provider(b2)[0] for b2 in scenarios], cpu_config, mesh=mesh
+    )
+    for b2, rp, rs in zip(scenarios, plain, sharded):
+        assert rs.status is rp.status, b2
+        assert rs.exact_objective == rp.exact_objective == -F(b2 + 8, 5)
+        assert rs.basis == rp.basis, b2
+        assert rs.stats.iterations == rp.stats.iterations, b2
+
+
+def _netlib_matrix_data(name):
+    from tests.conftest import reference_problem
+    from relp_tpu.io import mps_to_general_form, parse_fixed
+
+    path = reference_problem("netlib", name)
+    with open(path) as f:
+        mps = parse_fixed(f.read())
+    gf = mps_to_general_form(mps)
+    gf.presolve()
+    counts = gf.standardize()
+    return gf.derive_matrix_data(counts), gf
+
+
+@pytest.mark.parametrize("name,expected", [
+    ("SCAGR7.SIF", -2.331389824e06),
+    ("SCTAP1.SIF", 0.141225e4),
+])
+def test_driver_with_mesh_netlib(name, expected):
+    """Full-driver sharded-vs-single equivalence at netlib scale: the
+    column-sharded 8-device solve must walk the same pivot path (same
+    iteration count, same final basis) and certify the same objective.
+
+    Reference semantic anchor: the pricing scan being parallelized,
+    strategy/pivot_rule.rs:221-296."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from relp_tpu.parallel.mesh import make_mesh
+    from relp_tpu.simplex import solve_relaxation
+
+    md, gf = _netlib_matrix_data(name)
+    cfg = SolverConfig(pad_to=64, chunk_size=100, refactor_period=100,
+                       dtype="float64", scan_dtype="float32")
+    plain = solve_relaxation(md, cfg)
+    assert plain.status is SolveStatus.FINITE_OPTIMUM
+    mesh = make_mesh((1, 8))
+    sharded = solve_relaxation(md, cfg, mesh=mesh)
+    assert sharded.status is SolveStatus.FINITE_OPTIMUM
+    assert sharded.stats.certified and plain.stats.certified
+    assert sharded.exact_objective == plain.exact_objective
+    assert sharded.basis == plain.basis
+    assert sharded.stats.iterations == plain.stats.iterations
+    # Reconstructed full-problem objective matches the published optimum.
+    reduced = md.reconstruct_solution(sharded.exact_bfs)
+    solution = gf.compute_full_solution_with_reduced_solution(reduced)
+    assert abs(float(solution.objective_value) - expected) < 1e-2
+
+
+def test_sharded_pivot_sequence_netlib():
+    """Chunk-by-chunk pivot-sequence equality on a real netlib problem:
+    after every 10-pivot chunk the sharded and unsharded runs must hold
+    bitwise-identical bases (not just the same endpoint)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import jax.numpy as jnp
+
+    from relp_tpu.parallel.mesh import make_mesh
+    from relp_tpu.parallel.sharded import shard_problem, shard_state
+    from relp_tpu.simplex import kernels
+    from relp_tpu.simplex.engine import DenseEngine
+    from relp_tpu.simplex.lowering import lower_provider
+
+    md, _ = _netlib_matrix_data("SCAGR7.SIF")
+    problem = lower_provider(md, pad_to=64)  # f64
+    engine = DenseEngine()
+    cfg64 = SolverConfig(pad_to=64, dtype="float64")
+    kwargs = dict(
+        pricing=kernels.PRICE_DANTZIG,
+        chunk=10,
+        opt_tol=1e-9,
+        pivot_tol=1e-9,
+        degen_tol=1e-9,
+        stop_at_zero=True,
+    )
+
+    A = jnp.asarray(problem.A)
+    b = jnp.asarray(problem.b)
+    c1 = jnp.asarray(problem.c_phase1)
+    cand = jnp.asarray(problem.candidate_mask)
+    plain = engine.init_state(problem, cfg64)
+
+    mesh = make_mesh((1, 8))
+    with mesh:
+        A_s, b_s, c_s, cand_s = shard_problem(mesh, A, b, c1, cand)
+        sharded = shard_state(mesh, engine.init_state(problem, cfg64))
+
+    for _ in range(8):  # 80 phase-1 pivots, compared every 10
+        plain = kernels.run_chunk(plain, A, A, c1, cand, **kwargs)
+        with mesh:
+            sharded = kernels.run_chunk(
+                sharded, A_s, A_s, c_s, cand_s, **kwargs
+            )
+        assert int(sharded.iteration) == int(plain.iteration)
+        assert np.array_equal(
+            np.asarray(sharded.basis), np.asarray(plain.basis)
+        )
+        if int(plain.status) != 0:
+            break
+    assert int(plain.iteration) > 0
+
+
 def test_newton_refresh_matches_refactorize():
     """Newton-Schulz refresh from a drifted inverse reaches the same basis
     quantities as a fresh factorization (kernels.newton_refresh — the
