@@ -176,6 +176,22 @@ class GeneralForm:
 
         _presolve(self)
 
+    # --- prescaling (reference: Scalable, presolve/scale/mod.rs:21-51) ---
+
+    def scale(self):
+        """Apply the exact rational prime-factor prescaler in place and
+        return the :class:`~relp_tpu.data.scale.Scaling` to undo it / map
+        solutions back (reference: Scalable::scale)."""
+        from relp_tpu.data.scale import scale_general_form
+
+        return scale_general_form(self)
+
+    def scale_back(self, scaling) -> None:
+        """Undo a :meth:`scale` in place (reference: Scalable::scale_back)."""
+        from relp_tpu.data.scale import scale_back_general_form
+
+        scale_back_general_form(self, scaling)
+
     # --- standardization (reference: mod.rs:325-332) ---
 
     def standardize(self) -> List[int]:
