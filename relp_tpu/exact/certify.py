@@ -134,11 +134,17 @@ def exact_cleanup(
     """Run exact simplex pivots until exactly optimal (or budget runs out).
 
     Returns (basis, x, y, pivots_used, optimal).
+
+    The :class:`ExactSolver` is carried across pivots via mod-p
+    Sherman–Morrison column replacement (O(m^2) per pivot instead of a
+    fresh O(m^3) mod-p Gauss-Jordan; a failed update — pivot divisible by
+    the prime — falls back to a rebuild).
     """
     pivots = 0
+    solver = None
     while True:
         x, y, infeasible_row, entering, solver = certify_basis(
-            provider, basis, art_offset=art_offset
+            provider, basis, solver=solver, art_offset=art_offset
         )
         if infeasible_row is not None:
             # The float solver returned an exactly-infeasible basis; exact
@@ -154,6 +160,12 @@ def exact_cleanup(
             return basis, x, y, pivots, False
         basis[r] = entering
         pivots += 1
+        try:
+            solver = solver.replace_column(
+                r, provider.column(entering).entries()
+            )
+        except ExactSingularError:
+            solver = None  # rare: rebuild from scratch next iteration
 
 
 def certify_and_repair(

@@ -254,6 +254,76 @@ class ExactSolver:
         out.inv_p = inv_t
         return out
 
+    def replace_column(self, r: int, new_col: Sequence[Entry]) -> "ExactSolver":
+        """O(m^2) solver for the basis with column ``r`` replaced.
+
+        Mod-p Sherman–Morrison (product-form) update of the cached inverse —
+        the analog of the reference's BasisInverseRows::change_basis
+        (basis_inverse_rows.rs:131-145) carried out in exact modular
+        arithmetic, so the exact-cleanup loop costs O(m^2) per pivot instead
+        of a fresh O(m^3) Gauss-Jordan.
+
+        Raises :class:`ExactSingularError` when the update is impossible mod
+        p (pivot divisible by p, or a denominator-lcm growth divisible by
+        p); callers rebuild from scratch then.
+        """
+        p = self.p
+        m = self.m
+
+        # Row lcms may grow to clear the new column's denominators (they are
+        # kept monotone: removing the old column never shrinks them — larger
+        # integers, same solutions).
+        new_lcm = list(self.row_lcm)
+        for i, v in new_col:
+            d = v.denominator
+            new_lcm[i] = new_lcm[i] * d // math.gcd(new_lcm[i], d)
+
+        inv_p = self.inv_p
+        if new_lcm != self.row_lcm:
+            # M' = F M with F = diag(growth): inv' = inv F^-1 (column scale).
+            f_inv = np.ones(m, dtype=np.int64)
+            growth = [1] * m
+            for i in range(m):
+                if new_lcm[i] != self.row_lcm[i]:
+                    g = new_lcm[i] // self.row_lcm[i]
+                    growth[i] = g
+                    gm = g % p
+                    if gm == 0:
+                        raise ExactSingularError("lcm growth divisible by p")
+                    f_inv[i] = pow(gm, p - 2, p)
+            inv_p = (inv_p * f_inv[None, :]) % p
+            int_columns = [
+                [(i, v * growth[i]) for i, v in col] for col in self.int_columns
+            ]
+        else:
+            int_columns = [list(col) for col in self.int_columns]
+
+        new_int_col = [(i, int(v * new_lcm[i])) for i, v in new_col]
+        col_vec = np.zeros(m, dtype=np.int64)
+        for i, v in new_int_col:
+            col_vec[i] = v % p
+        w = (inv_p @ col_vec) % p  # M^-1 a_q mod p
+        w_r = int(w[r])
+        if w_r == 0:
+            raise ExactSingularError("replacement pivot zero mod p")
+        new_row_r = (inv_p[r] * pow(w_r, p - 2, p)) % p
+        w_off = w.copy()
+        w_off[r] = 0
+        inv_new = (inv_p - np.outer(w_off, new_row_r)) % p
+        inv_new[r] = new_row_r
+
+        out = ExactSolver.__new__(ExactSolver)
+        out.m = m
+        columns = list(self.columns)
+        columns[r] = list(new_col)
+        out.columns = columns
+        out.row_lcm = new_lcm
+        int_columns[r] = new_int_col
+        out.int_columns = int_columns
+        out.p = p
+        out.inv_p = inv_new
+        return out
+
     def solve(self, b: Sequence[Fraction]) -> List[Fraction]:
         # Row lcms were computed from the matrix alone; clear any remaining
         # rhs denominators with one global multiplier lam, solving

@@ -111,3 +111,86 @@ def test_modinv_native_matches_numpy():
         return
     assert np.array_equal(native, ref)
     assert np.array_equal((A @ native) % p, np.eye(m, dtype=np.int64) % p)
+
+
+def test_replace_column_matches_fresh_solver():
+    """Sherman-Morrison mod-p column replacement == rebuilding from scratch
+    (the O(m^2) update behind the exact-cleanup loop)."""
+    from relp_tpu.exact.dixon import ExactSolver
+
+    rng = random.Random(3)
+    m = 10
+    columns = _random_sparse_columns(rng, m, density=0.6)
+    solver = ExactSolver(columns)
+    b = [F(rng.randint(-50, 50), rng.choice((1, 2, 5))) for _ in range(m)]
+
+    # A chain of 6 replacements, including denominator-lcm growth (13ths).
+    for step in range(6):
+        r = rng.randrange(m)
+        new_col = [
+            (i, F(rng.randint(-9, 9) or 1, rng.choice((1, 2, 13))))
+            for i in range(m)
+            if rng.random() < 0.7 or i == r
+        ]
+        columns = list(columns)
+        columns[r] = new_col
+        solver = solver.replace_column(r, new_col)
+        fresh = ExactSolver(columns)
+        assert solver.solve(b) == fresh.solve(b), step
+        # Duals path too (transposed reuses the updated inverse).
+        assert solver.transposed().solve(b) == fresh.transposed().solve(b)
+
+
+def test_exact_cleanup_many_pivots_from_wrong_basis():
+    """A deliberately suboptimal (slack) starting basis forces the exact
+    cleanup loop through 5+ pivots; the certified optimum must match the
+    true LP optimum (exercises the carried Sherman-Morrison solver)."""
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.exact.certify import exact_cleanup
+    from relp_tpu.data.elements import (
+        Objective,
+        RangedConstraintRelation,
+        VariableType,
+    )
+    from relp_tpu.data.general_form import GeneralForm, Variable
+    from relp_tpu.linalg.sparse import SparseColumnMatrix
+
+    # min -sum x_i  s.t.  x_i + x_{i+1} <= i + 2 (chain), x >= 0.
+    m = 8
+    rows = [
+        [F(1) if j in (i, (i + 1) % m) else F(0) for j in range(m)]
+        for i in range(m)
+    ]
+    gf = GeneralForm(
+        objective=Objective.MINIMIZE,
+        constraints=SparseColumnMatrix.from_dense(rows),
+        constraint_types=[RangedConstraintRelation.less() for _ in range(m)],
+        b=[F(i + 2) for i in range(m)],
+        variables=[
+            Variable(VariableType.CONTINUOUS, F(-1), F(0), None)
+            for _ in range(m)
+        ],
+        variable_names=[f"x{j}" for j in range(m)],
+    )
+    counts = gf.standardize()
+    data = gf.derive_matrix_data(counts)
+
+    # Start from the all-slack basis: feasible (b >= 0) but far from optimal.
+    n_real = data.nr_columns()
+    slack_basis = [n_real - m + i for i in range(m)]
+    cfg = SolverConfig(pad_to=8)
+    basis, x, y, pivots, optimal = exact_cleanup(data, list(slack_basis), cfg)
+    assert optimal
+    assert pivots >= 5, pivots
+
+    # Oracle: solve through the driver and compare exact objectives.
+    from relp_tpu.simplex import solve_relaxation
+
+    result = solve_relaxation(data, cfg)
+    assert result.stats.certified
+    objective = sum(
+        data.cost_value(j) * x[i]
+        for i, j in enumerate(basis)
+        if j < n_real
+    )
+    assert objective == result.exact_objective
