@@ -83,6 +83,14 @@ class SolverConfig:
     # BasisInverseRows vs LUDecomposition).
     basis_inverse: str = "dense"
 
+    # Execution backend: "device" (dense jitted tableau — the TPU path),
+    # "host_sparse" (scipy sparse revised simplex on the host — the CPU
+    # fallback for huge, very sparse instances, closest to the reference's
+    # own execution model), or "auto" (host_sparse only when on the CPU
+    # backend AND the dense lowering would be huge and nearly empty; see
+    # host_sparse.should_use_host_sparse).
+    backend: str = "auto"
+
     # Run the exact rational certification pass after solving.
     certify: bool = True
     # If certification finds exact negative reduced costs, run exact cleanup
@@ -119,6 +127,8 @@ class SolverConfig:
             raise ValueError(f"unsupported scan_dtype {self.scan_dtype!r}")
         if self.basis_inverse not in ("dense", "lu"):
             raise ValueError(f"unsupported basis_inverse {self.basis_inverse!r}")
+        if self.backend not in ("auto", "device", "host_sparse"):
+            raise ValueError(f"unsupported backend {self.backend!r}")
         # Remember the pre-clamp tolerances: dataclasses.replace() rebuilds
         # from the (possibly f32-clamped) field values, so dtype escalation
         # in the driver must restore these to get genuine f64 tolerances.

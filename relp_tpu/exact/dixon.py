@@ -182,17 +182,92 @@ def _rational_reconstruct(a: int, modulus: int, bound: int) -> Optional[Fraction
     return Fraction(r1, t1)
 
 
+def _peel_order(
+    columns: Sequence[Sequence[Entry]],
+) -> Tuple[List[Tuple[int, int]], List[List[Entry]]]:
+    """Structural column-singleton peel of a basis matrix.
+
+    A basic column with a single (structurally) nonzero row can be solved
+    *last*: remove its row and column and recurse.  LP bases are dominated
+    by slack / bound-slack identity-like columns, so this typically shrinks
+    the dense Dixon core by 3-10x — certification cost is O(core^3), not
+    O(m^3) (80BAU3B: m = 4984 -> core ~ hundreds).
+
+    Returns (peels, rows): ``peels`` is the list of (column, row) pairs in
+    peel order; ``rows`` the row-major structure used for back-substitution.
+    """
+    m = len(columns)
+    rows: List[List[Entry]] = [[] for _ in range(m)]
+    for j, col in enumerate(columns):
+        for i, v in col:
+            rows[i].append((j, v))
+
+    col_nnz = [len(col) for col in columns]
+    row_active = [True] * m
+    col_active = [True] * m
+    stack = [j for j in range(m) if col_nnz[j] == 1]
+    peels: List[Tuple[int, int]] = []
+    while stack:
+        j = stack.pop()
+        if not col_active[j] or col_nnz[j] != 1:
+            continue
+        i = next(
+            (i for i, _ in columns[j] if row_active[i]),
+            None,
+        )
+        if i is None:
+            continue  # structurally singular; the core inversion will fail
+        peels.append((j, i))
+        col_active[j] = False
+        row_active[i] = False
+        for k, _ in rows[i]:
+            if col_active[k]:
+                col_nnz[k] -= 1
+                if col_nnz[k] == 1:
+                    stack.append(k)
+    return peels, rows
+
+
 class ExactSolver:
     """Cached exact solver for one basis matrix.
 
     Clears denominators and computes the mod-p inverse once; every
     subsequent :meth:`solve` is just lifting + reconstruction — the repeated
     solves of certification and cleanup ratio tests share the O(m^3) work.
+
+    ``peel`` controls structural column-singleton peeling (see
+    :func:`_peel_order`): ``None`` (default) peels when it shrinks the core
+    by >= 25%, ``True`` always, ``False`` never.  Peeled solvers answer
+    :meth:`solve` through a dense core + exact back-substitution;
+    :meth:`replace_column` requires an unpeeled solver (callers rebuild).
     """
 
-    def __init__(self, columns: Sequence[Sequence[Entry]]):
+    def __init__(self, columns: Sequence[Sequence[Entry]], peel=None):
         self.m = len(columns)
         self.columns = columns
+        self._transposed_memo: Optional["ExactSolver"] = None
+
+        peels: List[Tuple[int, int]] = []
+        rows: List[List[Entry]] = []
+        if peel is not False and self.m > 0:
+            peels, rows = _peel_order(columns)
+            if peel is None and len(peels) < self.m // 4:
+                peels = []
+        self.peels = peels
+        if peels:
+            self._rows = rows
+            peeled_rows = {i for _, i in peels}
+            peeled_cols = {j for j, _ in peels}
+            self.core_rows = [i for i in range(self.m) if i not in peeled_rows]
+            self.core_cols = [j for j in range(self.m) if j not in peeled_cols]
+            row_map = {i: k for k, i in enumerate(self.core_rows)}
+            core_columns = [
+                [(row_map[i], v) for i, v in columns[j] if i in row_map]
+                for j in self.core_cols
+            ]
+            self._core = ExactSolver(core_columns, peel=False)
+            return
+
         self.row_lcm = _row_lcms(columns)
         self.int_columns = [
             [(i, int(v * self.row_lcm[i])) for i, v in col] for col in columns
@@ -218,6 +293,10 @@ class ExactSolver:
         integer matrix is N = D_c B^T (D_c = per-column denominator lcms of
         B), whose inverse mod p is D_r inv_p^T D_c^-1 — three diagonal
         scalings instead of a second O(m^3) Gauss-Jordan.
+
+        A peeled solver instead builds (and memoizes) a full transposed
+        solver, which peels B^T's own row-singleton structure — still
+        O(core^3), not O(m^3).
         """
         m = self.m
         # Columns of B^T = rows of B, entries indexed by original column.
@@ -226,9 +305,16 @@ class ExactSolver:
             for i, v in col:
                 t_columns[i].append((j, v))
 
+        if self.peels:
+            if self._transposed_memo is None:
+                self._transposed_memo = ExactSolver(t_columns)
+            return self._transposed_memo
+
         out = ExactSolver.__new__(ExactSolver)
         out.m = m
         out.columns = t_columns
+        out.peels = []
+        out._transposed_memo = None
         out.row_lcm = _row_lcms(t_columns)  # = D_c
         out.int_columns = [
             [(i, int(v * out.row_lcm[i])) for i, v in col] for col in t_columns
@@ -265,8 +351,11 @@ class ExactSolver:
 
         Raises :class:`ExactSingularError` when the update is impossible mod
         p (pivot divisible by p, or a denominator-lcm growth divisible by
-        p); callers rebuild from scratch then.
+        p), and on peeled solvers (no full-size inverse to update); callers
+        rebuild from scratch then.
         """
+        if self.peels:
+            raise ExactSingularError("peeled solver cannot update in place")
         p = self.p
         m = self.m
 
@@ -317,6 +406,8 @@ class ExactSolver:
         columns = list(self.columns)
         columns[r] = list(new_col)
         out.columns = columns
+        out.peels = []
+        out._transposed_memo = None
         out.row_lcm = new_lcm
         int_columns[r] = new_int_col
         out.int_columns = int_columns
@@ -325,6 +416,8 @@ class ExactSolver:
         return out
 
     def solve(self, b: Sequence[Fraction]) -> List[Fraction]:
+        if self.peels:
+            return self._solve_peeled(b)
         # Row lcms were computed from the matrix alone; clear any remaining
         # rhs denominators with one global multiplier lam, solving
         # (D B) x' = (D b) * lam and returning x = x' / lam.
@@ -343,6 +436,35 @@ class ExactSolver:
             self.inv_p,
             scale=lam,
         )
+
+    def _solve_peeled(self, b: Sequence[Fraction]) -> List[Fraction]:
+        """Core Dixon solve + exact back-substitution of the peeled pairs.
+
+        A pair (j, i) was peeled while every *other* column with an entry in
+        row i was still active, so processing the pairs in reverse peel
+        order guarantees those columns' values are already known.
+        """
+        x: List[Optional[Fraction]] = [None] * self.m
+        core_b = [b[i] for i in self.core_rows]
+        core_x = self._core.solve(core_b)
+        for j, v in zip(self.core_cols, core_x):
+            x[j] = v
+        for j, i in reversed(self.peels):
+            s = b[i]
+            pivot: Optional[Fraction] = None
+            for k, v in self._rows[i]:
+                if k == j:
+                    pivot = v
+                elif x[k] is not None:
+                    if x[k]:
+                        s -= v * x[k]
+                else:
+                    raise ExactSingularError(
+                        "peel back-substitution hit an unresolved column"
+                    )
+            assert pivot is not None
+            x[j] = s / pivot
+        return x  # type: ignore[return-value]
 
 
 def _row_lcms(columns: Sequence[Sequence[Entry]]) -> List[int]:

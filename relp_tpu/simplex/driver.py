@@ -256,6 +256,20 @@ def solve_relaxation(
     import dataclasses
 
     cfg0 = config or default_config()
+
+    # Very large + very sparse on the CPU backend: the dense lowering would
+    # be hundreds of MB with O(m^3) dense refactorizations; route to the
+    # sparse host backend (f64 + exact certification — no escalation ladder
+    # needed on top).
+    if cfg0.backend == "host_sparse" or (
+        cfg0.backend == "auto" and mesh is None and _use_host_sparse(provider, cfg0)
+    ):
+        from relp_tpu.simplex.host_sparse import solve_relaxation_host_sparse
+
+        return solve_relaxation_host_sparse(
+            provider, cfg0, warm_start_basis=warm_start_basis
+        )
+
     result = _solve_relaxation_once(provider, cfg0, warm_start_basis, mesh)
     # __post_init__ clamps tolerances in place for f32; dtype escalation must
     # restore the user-requested (pre-clamp) values or the "conservative"
@@ -313,6 +327,12 @@ def solve_relaxation(
         warm = result.basis if result.basis else warm_start_basis
         result = _solve_relaxation_once(provider, retry_cfg, warm, mesh)
     return result
+
+
+def _use_host_sparse(provider: MatrixProvider, cfg: SolverConfig) -> bool:
+    from relp_tpu.simplex.host_sparse import should_use_host_sparse
+
+    return should_use_host_sparse(provider, cfg)
 
 
 def _solve_relaxation_once(

@@ -223,7 +223,13 @@ class LUEngine:
 
         # gamma_j = 1 + ||B^-1 a_j||^2 via columns of the inverse applied to
         # A: with the eta ring empty right after refactorization this is a
-        # pair of triangular solves against the whole scan matrix.
+        # pair of triangular solves against the whole scan matrix.  The
+        # solves go against the B0 factors ONLY, so a non-empty eta ring
+        # would silently produce weights for a stale basis — guard it.
+        assert int(state.eta_count) == 0, (
+            "LUEngine.recompute_gamma requires a fresh factorization "
+            "(empty eta ring); refactor first"
+        )
         from jax.scipy.linalg import lu_solve
 
         W = lu_solve(

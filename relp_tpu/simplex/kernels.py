@@ -97,7 +97,11 @@ def _select_leaving(xB, w, basis, pricing: int, pivot_tol: float, M: int):
         near = pos & (ratio <= tmin + 1e-12 * (1.0 + jnp.abs(tmin)))
         r = jnp.argmin(jnp.where(near, basis, jnp.iinfo(jnp.int32).max))
     else:
-        delta = 1e-7
+        # Relative feasibility relaxation: an absolute delta is meaningless
+        # on badly-scaled instances (basic values of 1e6 would get zero
+        # relaxation relative to their own rounding noise; values of 1e-9
+        # would get a 100x-too-large one).
+        delta = 1e-7 * (1.0 + xB_eff)
         relaxed = jnp.where(pos, (xB_eff + delta) / safe_w, big)
         theta = jnp.min(relaxed)
         ok = pos & (ratio <= theta)
