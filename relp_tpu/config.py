@@ -115,6 +115,13 @@ class SolverConfig:
     # column count padded to a multiple of 128; ignored otherwise.
     pallas_scan: bool = False
 
+    # Use the fused Pallas batched-pivot megakernel for the scenario-batch
+    # driver's chunk loops (relp_tpu/ops/pallas_batch.py): the whole per-LP
+    # pivot loop runs VMEM-resident instead of re-streaming (B,M,N)/(B,M,M)
+    # through HBM per small op.  Applies only to the f32 steepest-edge
+    # unmeshed configuration; other configs fall back to the XLA path.
+    pallas_batch: bool = False
+
     # Runtime BFS invariant checking at refactorization boundaries
     # (reference: debug_assert_in_basic_feasible_solution_state,
     # tableau/mod.rs:319-357, which runs per iteration in debug builds).

@@ -1,0 +1,352 @@
+"""Fused batched-pivot megakernel (Pallas TPU).
+
+The scenario-batch axis is the framework's best TPU story (SURVEY.md §2
+checklist: "vmapped scenario batch"), but the XLA-compiled batched step
+pays ~120 us/pivot of diffuse small-op overhead — selection, Harris,
+scatters over (B, N)/(B, M) arrays — against ~82 us of real work at
+B=64, m=256 (docs/ROADMAP.md item 2, measured by marginal differencing).
+
+This kernel runs a WHOLE CHUNK of pivots for one LP per grid step with the
+entire working set VMEM-resident: the (M, N) tableau (512 KB at 256x512
+f32), the (M, M) inverse, and all state vectors.  Between pivots nothing
+touches HBM — the XLA path re-streams (B, M, N) and (B, M, M) through HBM
+for every one of its small ops.
+
+Semantics mirror ``relp_tpu.simplex.kernels.make_iteration`` exactly
+(steepest-edge pricing, Harris two-pass ratio test with relative delta,
+product-form rank-1 update, Goldfarb gamma update); equivalence is tested
+against the vmapped XLA path in interpret mode on CPU.
+
+All dynamic indexing is expressed as one-hot matvecs / iota masks (gathers
+and dynamic scatters are not Mosaic-friendly); argmax ties break to the
+lowest index like ``jnp.argmax``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from relp_tpu.simplex.state import OPTIMAL, RUNNING, UNBOUNDED
+
+_NEG = -3.0e38  # ~-inf in f32, Mosaic-safe literal
+
+
+def _argmax_first(score, ids, size):
+    """Index of the first maximum of ``score`` (shape (1, K))."""
+    smax = jnp.max(score)
+    return jnp.min(jnp.where(score == smax, ids, size)).astype(jnp.int32), smax
+
+
+def _make_kernel(chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N):
+    def kernel(
+        A_ref, c_ref, cand_ref,
+        Binv_in, xB_in, pi_in, cB_in, basis_in, inb_in, gamma_in, meta_in,
+        Binv_out, xB_out, pi_out, cB_out, basis_out, inb_out, gamma_out,
+        meta_out, d_scr,
+    ):
+        # Vector state arrives as (B, 1, K) with (1, 1, K) blocks (Mosaic
+        # requires the last two block dims divisible by (8, 128) or equal to
+        # the array dims); ref[0] yields the (1, K) working shape.
+        A = A_ref[0]  # (M, N)
+        c = c_ref[0]  # (1, N)
+        cand = cand_ref[0]  # (1, N) f32 mask
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        mrow_ids = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+        mcol_ids = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+        mm_row_ids = jax.lax.broadcasted_iota(jnp.int32, (M, M), 0)
+
+        # Copy state in -> out once; the pivot loop then updates out in place.
+        Binv_out[...] = Binv_in[...]
+        xB_out[0] = xB_in[0]
+        pi_out[0] = pi_in[0]
+        cB_out[0] = cB_in[0]
+        basis_out[0] = basis_in[0]
+        inb_out[0] = inb_in[0]
+        gamma_out[0] = gamma_in[0]
+        meta_out[0] = meta_in[0]
+        # Chunk-entry reduced-cost refresh (run_chunk does the same).
+        d_scr[...] = c - jnp.dot(
+            pi_in[0], A, preferred_element_type=jnp.float32
+        )
+
+        def body(_k, carry):
+            status = meta_out[0, 0, 0]
+            obj = jnp.sum(cB_out[0] * xB_out[0])
+            active = status == RUNNING
+            if stop_at_zero:
+                active = active & (obj > 1e-9)
+
+            @pl.when(active)
+            def _():
+                Binv = Binv_out[0]  # (M, M)
+                xB = xB_out[0]  # (1, M)
+                pi = pi_out[0]  # (1, M)
+                cB = cB_out[0]
+                basis = basis_out[0]  # (1, M) i32
+                inb = inb_out[0]  # (1, N) f32
+                gamma = gamma_out[0]
+                d = d_scr[...]
+
+                # --- pricing (steepest edge) ---
+                eligible = (cand > 0.5) & (inb < 0.5) & (d < -opt_tol)
+                score = jnp.where(eligible, d * d / gamma, _NEG)
+                q, smax = _argmax_first(score, col_ids, N)
+                any_eligible = smax > _NEG
+                onehot_q = (col_ids == q).astype(jnp.float32)  # (1, N)
+
+                # --- FTRAN ---
+                a_q = jax.lax.dot_general(
+                    A, onehot_q,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (M, 1)
+                w = jnp.dot(Binv, a_q, preferred_element_type=jnp.float32)
+                # Working-precision recheck like make_iteration's d_q_full.
+                c_q = jnp.sum(c * onehot_q)
+                d_q = c_q - jnp.sum(pi * a_q.reshape(1, M))
+
+                # --- Harris two-pass ratio test (relative delta) ---
+                wc = w  # (M, 1)
+                pos = wc > pivot_tol
+                xBc = xB.reshape(M, 1)
+                xB_eff = jnp.maximum(xBc, 0.0)
+                safe_w = jnp.where(pos, wc, 1.0)
+                big = jnp.float32(3.0e38)
+                ratio = jnp.where(pos, xB_eff / safe_w, big)
+                delta = 1e-7 * (1.0 + xB_eff)
+                relaxed = jnp.where(pos, (xB_eff + delta) / safe_w, big)
+                theta = jnp.min(relaxed)
+                ok = pos & (ratio <= theta)
+                any_positive = jnp.any(pos)
+                wmax = jnp.max(jnp.where(ok, wc, _NEG))
+                r = jnp.min(
+                    jnp.where(ok & (wc == wmax), mrow_ids, M)
+                ).astype(jnp.int32)
+                onehot_r = (mrow_ids == r).astype(jnp.float32)  # (M, 1)
+
+                new_status = jnp.where(
+                    ~any_eligible,
+                    OPTIMAL,
+                    jnp.where(~any_positive, UNBOUNDED, RUNNING),
+                ).astype(jnp.int32)
+                do = new_status == RUNNING
+                dof = do.astype(jnp.float32)
+
+                # --- product-form rank-1 update ---
+                w_r = jnp.sum(wc * onehot_r)
+                safe_wr = jnp.where(do, w_r, 1.0)
+                t = jnp.sum(xB_eff * onehot_r) / safe_wr
+                Binv_r = (
+                    jax.lax.dot_general(
+                        onehot_r, Binv,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    / safe_wr
+                )  # (1, M)
+                Binv_new = Binv - jnp.dot(
+                    wc, Binv_r, preferred_element_type=jnp.float32
+                )
+                Binv_new = jnp.where(
+                    mm_row_ids == r, jnp.broadcast_to(Binv_r, (M, M)), Binv_new
+                )
+                w_row = wc.reshape(1, M)
+                xB_new = xB - t * w_row
+                xB_new = jnp.where(mcol_ids == r, t, xB_new)
+
+                leaving = jnp.sum(
+                    jnp.where(mcol_ids == r, basis, 0)
+                ).astype(jnp.int32)
+                basis_new = jnp.where(mcol_ids == r, q, basis)
+                inb_new = jnp.where(
+                    col_ids == q,
+                    1.0,
+                    jnp.where(col_ids == leaving, 0.0, inb),
+                )
+                cB_new = jnp.where(mcol_ids == r, c_q, cB)
+                pi_new = pi + d_q * Binv_r
+
+                # --- fused Goldfarb scan: one stacked (3, M) @ (M, N) ---
+                gamma_q = 1.0 + jnp.sum(wc * wc)
+                v = jax.lax.dot_general(
+                    wc, Binv,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (1, M), OLD inverse
+                P = jnp.concatenate([pi_new, v, Binv_r], axis=0)  # (3, M)
+                S = jnp.dot(P, A, preferred_element_type=jnp.float32)
+                d_next = c - S[0:1, :]
+                inner = S[1:2, :]
+                abar = S[2:3, :]
+                gamma_new = jnp.maximum(
+                    gamma - 2.0 * abar * inner + abar * abar * gamma_q,
+                    1.0 + abar * abar,
+                )
+                gamma_new = jnp.where(
+                    col_ids == leaving,
+                    jnp.maximum(gamma_q / (safe_wr * safe_wr), 1.0),
+                    gamma_new,
+                )
+                gamma_new = jnp.where(col_ids == q, 1.0, gamma_new)
+
+                sel = lambda new, old: jnp.where(do, new, old)
+                Binv_out[0] = sel(Binv_new, Binv)
+                xB_out[0] = sel(xB_new, xB)
+                pi_out[0] = sel(pi_new, pi)
+                cB_out[0] = sel(cB_new, cB)
+                basis_out[0] = jnp.where(do, basis_new, basis)
+                inb_out[0] = sel(inb_new, inb)
+                gamma_out[0] = sel(gamma_new, gamma)
+                d_scr[...] = sel(d_next, d)
+                meta = meta_out[0]  # (1, 8) i32
+                ids8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+                degen = meta_out[0, 0, 2]
+                degen_new = jnp.where(
+                    do, jnp.where(t <= degen_tol, degen + 1, 0), degen
+                ).astype(jnp.int32)
+                it_new = meta_out[0, 0, 1] + do.astype(jnp.int32)
+                meta_new = jnp.where(ids8 == 0, new_status, meta)
+                meta_new = jnp.where(ids8 == 1, it_new, meta_new)
+                meta_new = jnp.where(ids8 == 2, degen_new, meta_new)
+                meta_out[0] = meta_new
+
+            return carry
+
+        jax.lax.fori_loop(0, chunk, body, jnp.int32(0))
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero",
+        "interpret",
+    ),
+)
+def batched_pivot_chunk(
+    A,  # (B, M, N) f32
+    c,  # (B, N)
+    cand,  # (B, N) bool
+    Binv,  # (B, M, M)
+    xB,  # (B, M)
+    pi,  # (B, M)
+    basis,  # (B, M) int32
+    in_basis,  # (B, N) bool
+    gamma,  # (B, N)
+    status,  # (B,) int32
+    iteration,  # (B,) int32
+    degen,  # (B,) int32
+    *,
+    chunk: int,
+    opt_tol: float,
+    pivot_tol: float,
+    degen_tol: float,
+    stop_at_zero: bool = False,
+    interpret: bool = False,
+):
+    """Run up to ``chunk`` steepest-edge pivots for every LP in the batch.
+
+    Returns (Binv, xB, pi, basis, in_basis, gamma, status, iteration, degen)
+    updated — the same contract as the vmapped XLA path in
+    ``relp_tpu.parallel.batch.batched_run_chunk`` (f32, same-precision
+    scans, steepest pricing).
+    """
+    B, M, N = A.shape
+    f32 = jnp.float32
+    cB = jnp.take_along_axis(c, basis, axis=1).astype(f32)  # (B, M)
+    meta = jnp.stack(
+        [status, iteration, degen, jnp.zeros_like(status)], axis=1
+    ).astype(jnp.int32)
+    meta = jnp.concatenate(
+        [meta, jnp.zeros((B, 4), jnp.int32)], axis=1
+    )  # (B, 8)
+
+    zero = np.int32(0)
+    _b = lambda b: b
+    # Mosaic requires the last two block dims divisible by (8, 128) or equal
+    # to the array dims, so (B, K) vectors are lifted to (B, 1, K) with
+    # (1, 1, K) blocks.
+    full = lambda shape: pl.BlockSpec(
+        (1,) + shape, lambda b: (_b(b),) + (zero,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    vec_n = full((1, N))
+    vec_m = full((1, M))
+    vec_meta = full((1, 8))
+
+    kernel = _make_kernel(
+        chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, M, M), f32),
+        jax.ShapeDtypeStruct((B, 1, M), f32),
+        jax.ShapeDtypeStruct((B, 1, M), f32),
+        jax.ShapeDtypeStruct((B, 1, M), f32),
+        jax.ShapeDtypeStruct((B, 1, M), jnp.int32),
+        jax.ShapeDtypeStruct((B, 1, N), f32),
+        jax.ShapeDtypeStruct((B, 1, N), f32),
+        jax.ShapeDtypeStruct((B, 1, 8), jnp.int32),
+    ]
+    lift = lambda x: x[:, None, :]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            full((M, N)),  # A
+            vec_n,  # c
+            vec_n,  # cand
+            full((M, M)),  # Binv
+            vec_m,  # xB
+            vec_m,  # pi
+            vec_m,  # cB
+            vec_m,  # basis
+            vec_n,  # in_basis
+            vec_n,  # gamma
+            vec_meta,  # meta
+        ],
+        out_specs=[
+            full((M, M)),
+            vec_m,
+            vec_m,
+            vec_m,
+            vec_m,
+            vec_n,
+            vec_n,
+            vec_meta,
+        ],
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((1, N), f32)],
+        input_output_aliases={3: 0, 4: 1, 5: 2, 6: 3, 7: 4, 8: 5, 9: 6, 10: 7},
+        interpret=interpret,
+    )(
+        A.astype(f32),
+        lift(c.astype(f32)),
+        lift(cand.astype(f32)),
+        Binv.astype(f32),
+        lift(xB.astype(f32)),
+        lift(pi.astype(f32)),
+        lift(cB),
+        lift(basis.astype(jnp.int32)),
+        lift(in_basis.astype(f32)),
+        lift(gamma.astype(f32)),
+        lift(meta),
+    )
+    Binv_o, xB_o, pi_o, _cB_o, basis_o, inb_o, gamma_o, meta_o = outs
+    return (
+        Binv_o,
+        xB_o[:, 0],
+        pi_o[:, 0],
+        basis_o[:, 0].astype(jnp.int32),
+        inb_o[:, 0] > 0.5,
+        gamma_o[:, 0],
+        meta_o[:, 0, 0],
+        meta_o[:, 0, 1],
+        meta_o[:, 0, 2],
+    )

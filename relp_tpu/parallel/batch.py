@@ -22,6 +22,81 @@ def make_batch_state(states):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
+def megakernel_run_chunk(
+    batch_state: SimplexState,
+    A,  # (B, M, N) f32 tableau (same-precision scans)
+    c,  # (B, N)
+    candidate_mask,  # (B, N)
+    *,
+    chunk: int,
+    opt_tol: float,
+    pivot_tol: float,
+    degen_tol: float,
+    stop_at_zero: bool = False,
+    interpret: bool = False,
+) -> SimplexState:
+    """Advance the batch by up to ``chunk`` pivots through the fused Pallas
+    megakernel (relp_tpu/ops/pallas_batch.py) — per-LP VMEM-resident pivot
+    loops instead of the vmapped XLA small-op chain.
+
+    Same contract as :func:`batched_run_chunk` restricted to its production
+    configuration: f32, same-precision scans, steepest-edge pricing.  The
+    carried ``d`` is left stale (every chunk entry refreshes it anyway).
+    """
+    from relp_tpu.ops.pallas_batch import batched_pivot_chunk
+
+    Binv, xB, pi, basis, in_basis, gamma, status, iteration, degen = (
+        batched_pivot_chunk(
+            A,
+            c,
+            candidate_mask,
+            batch_state.Binv,
+            batch_state.xB,
+            batch_state.pi,
+            batch_state.basis,
+            batch_state.in_basis,
+            batch_state.gamma,
+            batch_state.status,
+            batch_state.iteration,
+            batch_state.degen_count,
+            chunk=chunk,
+            opt_tol=opt_tol,
+            pivot_tol=pivot_tol,
+            degen_tol=degen_tol,
+            stop_at_zero=stop_at_zero,
+            interpret=interpret,
+        )
+    )
+    cB = jnp.take_along_axis(c, basis, axis=1)
+    obj = jnp.sum(cB * xB, axis=1)
+    return batch_state._replace(
+        Binv=Binv,
+        xB=xB,
+        pi=pi,
+        basis=basis,
+        in_basis=in_basis,
+        gamma=gamma,
+        status=status,
+        iteration=iteration,
+        degen_count=degen,
+        obj=obj.astype(batch_state.obj.dtype),
+        inner=jnp.full_like(batch_state.inner, chunk),
+    )
+
+
+def megakernel_applicable(A, cfg_dtype: str, scan_dtype: str, pricing: int, mesh=None) -> bool:
+    """Shape/config gate for the fused batched megakernel."""
+    B, M, N = A.shape
+    return (
+        mesh is None
+        and pricing == PRICE_STEEPEST
+        and cfg_dtype == "float32"
+        and scan_dtype in ("float32", "same")
+        and M % 8 == 0
+        and N % 128 == 0
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

@@ -166,6 +166,17 @@ def solve_batch(
         xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
         return batch._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), residual
 
+    from relp_tpu.parallel.batch import (
+        megakernel_applicable,
+        megakernel_run_chunk,
+    )
+
+    use_megakernel = (
+        cfg.pallas_batch
+        and not mixed
+        and megakernel_applicable(A, cfg.dtype, cfg.scan_dtype, pricing, mesh)
+    )
+
     def step(batch, c, stop_at_zero):
         """One chunk of pivots + refactorization + gamma/d refresh as a
         single fused dispatch, returning a packed (3, B) report array so the
@@ -173,9 +184,18 @@ def solve_batch(
         cost ~35 ms each and dominated this driver when chunk, refactor,
         gamma, and the status/obj/iteration pulls each went separately
         (measured: 2.9k end-to-end pivots/s vs 314k inside the loop)."""
-        batch = batched_run_chunk(
-            batch, A_scan, A, c, cand, stop_at_zero=stop_at_zero, **kwargs
-        )
+        if use_megakernel:
+            import jax as _jax
+
+            batch = megakernel_run_chunk(
+                batch, A, c, cand, stop_at_zero=stop_at_zero,
+                interpret=_jax.default_backend() == "cpu",
+                **{k: v for k, v in kwargs.items() if k != "pricing"},
+            )
+        else:
+            batch = batched_run_chunk(
+                batch, A_scan, A, c, cand, stop_at_zero=stop_at_zero, **kwargs
+            )
         report = jnp.stack(
             [
                 batch.status.astype(A.dtype),

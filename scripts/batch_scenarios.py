@@ -24,6 +24,8 @@ def main():
     parser.add_argument("--batch", type=int, default=256)
     parser.add_argument("--certify", type=int, default=8,
                         help="exactly certify this many scenarios (host cost)")
+    parser.add_argument("--megakernel", action="store_true",
+                        help="use the fused Pallas batched-pivot megakernel")
     args = parser.parse_args()
 
     import jax
@@ -54,7 +56,10 @@ def main():
         providers.append(gf.derive_matrix_data(counts))
     build_s = time.time() - t0
 
-    cfg = SolverConfig(pad_to=128, chunk_size=150, refactor_period=150)
+    cfg = SolverConfig(
+        pad_to=128, chunk_size=150, refactor_period=150,
+        pallas_batch=args.megakernel,
+    )
     t0 = time.time()
     results = solve_batch(providers, cfg, certify=False, shared_structure=True)
     solve_s = time.time() - t0

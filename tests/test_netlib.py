@@ -24,17 +24,17 @@ from relp_tpu.config import SolverConfig
 from relp_tpu.io import mps_to_general_form, parse_fixed
 from relp_tpu.simplex import SolveStatus, solve_general_form
 
-# Problems slower than ~20 s on the CPU backend (measured:
-# docs/results/netlib_cpu_resweep.json); default-off to keep `pytest tests/`
-# fast, on under RELP_TPU_RUN_SLOW=1.  80BAU3B additionally needs the large
-# budget of the sweep script (docs/ROADMAP.md item 8).
+# Problems slower than ~20 s on the CPU backend; default-off to keep
+# `pytest tests/` fast, on under RELP_TPU_RUN_SLOW=1.  Timings re-measured
+# round 2 with peeled exact certification + the sparse host backend
+# (80BAU3B previously could not finish on CPU at all; now ~33 s).
 SLOW = {
-    "25FV47": "~30 s",
-    "80BAU3B": "CPU timeout at 600 s (solved + certified on TPU)",
-    "BNL2": "~140 s",
-    "CYCLE": "~160 s",
-    "GREENBEA": "~360 s",
-    "GREENBEB": "~260 s",
+    "25FV47": "~45 s",
+    "80BAU3B": "~33 s (sparse host backend + peeled certification)",
+    "BNL2": "~110 s",
+    "CYCLE": "~70 s",
+    "GREENBEA": "~300 s",
+    "GREENBEB": "~250 s",
 }
 
 RUN_SLOW = bool(os.environ.get("RELP_TPU_RUN_SLOW"))
