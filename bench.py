@@ -133,6 +133,38 @@ def main():
         kernels.PRICE_STEEPEST,
     )
 
+    # --- df32 carry: compensated two-f32 (the escalation rung that
+    # replaces emulated f64 for drift-prone instances) ---
+    from relp_tpu.ops.df32 import df_from_f64
+    from relp_tpu.simplex.df_kernels import df_make_state, df_run_chunk
+
+    class _DfShim:
+        """Adapts df_run_chunk to the _measure interface."""
+
+        def __init__(self, Ah, Al, ch, cl):
+            self.Ah, self.Al, self.ch, self.cl = Ah, Al, ch, cl
+
+        def run_chunk(self, st, A_scan, A_full, c, cand, *, pricing, chunk,
+                      opt_tol, pivot_tol, degen_tol):
+            return df_run_chunk(
+                st, A_scan, self.Ah, self.Al, self.ch, self.cl, cand,
+                pricing=pricing, chunk=chunk, opt_tol=opt_tol,
+                pivot_tol=pivot_tol, degen_tol=degen_tol,
+            )
+
+    Ah, Al = df_from_f64(A64)
+    ch_, cl_ = df_from_f64(c164)
+    df_state0 = df_make_state(A64, b64, c164, basis64)
+    per_df, _ = _measure(
+        _DfShim(Ah, Al, ch_, cl_),
+        df_state0,
+        Ah,
+        Ah,
+        jnp.asarray(c164.astype(np.float32)),
+        jnp.asarray(cand64),
+        kernels.PRICE_STEEPEST,
+    )
+
     # --- scenario batch: 64 perturbed LPs in lockstep (dp analog) ---
     from relp_tpu.parallel.batch import batched_run_chunk, make_batch_state
 
@@ -202,6 +234,9 @@ def main():
             "fast_path_f32_ms_per_iter": round(per_f32 * 1e3, 4) if per_f32 else None,
             "robust_path_f64_carry_iters_per_s": (
                 round(1.0 / per_f64, 1) if per_f64 else None
+            ),
+            "df32_carry_iters_per_s": (
+                round(1.0 / per_df, 1) if per_df else None
             ),
             "batched_64x_m256_pivots_per_s": (
                 round(1.0 / batch_per_pivot, 1) if batch_per_pivot else None

@@ -42,6 +42,13 @@ class SolverConfig:
     # exact certifier backstops correctness.
     scan_dtype: str = "float32"
 
+    # Carry representation: "native" (the working dtype) or "df32"
+    # (double-float: B^-1/x_B/pi as hi+lo f32 pairs updated with compensated
+    # EFT arithmetic — ~2^-48 accuracy at native-f32 speed; the middle rung
+    # of the escalation ladder between the f32 fast path and emulated f64).
+    # Requires dtype="float32" and basis_inverse="dense".
+    carry: str = "native"
+
     # Pricing rule: "dantzig" | "steepest" | "first" | "first_memory"
     # (reference: strategy/pivot_rule.rs: SteepestDescentAlongVariable,
     # SteepestDescentAlongObjective, FirstProfitable, FirstProfitableWithMemory).
@@ -134,6 +141,15 @@ class SolverConfig:
             raise ValueError(f"unsupported scan_dtype {self.scan_dtype!r}")
         if self.basis_inverse not in ("dense", "lu"):
             raise ValueError(f"unsupported basis_inverse {self.basis_inverse!r}")
+        if self.carry not in ("native", "df32"):
+            raise ValueError(f"unsupported carry {self.carry!r}")
+        if self.carry == "df32" and (
+            self.dtype != "float32" or self.basis_inverse != "dense"
+        ):
+            raise ValueError(
+                "carry='df32' requires dtype='float32' and "
+                "basis_inverse='dense'"
+            )
         if self.backend not in ("auto", "device", "host_sparse"):
             raise ValueError(f"unsupported backend {self.backend!r}")
         # Remember the pre-clamp tolerances: dataclasses.replace() rebuilds
@@ -145,7 +161,15 @@ class SolverConfig:
             "feas_tol": self.feas_tol,
             "phase1_tol": self.phase1_tol,
         }
-        if self.dtype == "float32":
+        if self.dtype == "float32" and self.carry == "df32":
+            # Double-float carry: values are accurate to ~2^-48, and f32
+            # comparisons have *relative* resolution, so near-zero
+            # thresholds are meaningful at f64-grade levels.
+            self.opt_tol = max(self.opt_tol, 1e-9)
+            self.pivot_tol = max(self.pivot_tol, 1e-8)
+            self.feas_tol = max(self.feas_tol, 1e-9)
+            self.phase1_tol = max(self.phase1_tol, 1e-8)
+        elif self.dtype == "float32":
             # f32 working precision: tolerances below f32 resolution are
             # noise; the exact certifier (and the f64 escalation in the
             # driver) backstop correctness.

@@ -58,6 +58,41 @@ def _np_dtype(cfg: SolverConfig):
     return np.float64 if cfg.dtype == "float64" else np.float32
 
 
+def _lower_dtype(cfg: SolverConfig):
+    # The df32 carry lowers problem data in f64 and splits it into hi/lo
+    # pairs on device, so data accuracy matches the compensated carry.
+    return np.float64 if cfg.carry == "df32" else _np_dtype(cfg)
+
+
+def _device_arrays(problem: DeviceProblem, cfg: SolverConfig):
+    """Device arrays for the lowered problem: (A, A_scan, b, c1, c2, mask).
+
+    For carry="df32" the f64 lowering is split into DfMatrix/DfVec hi+lo
+    pairs; A_scan is the hi part (the f32 pricing-scan copy).
+    """
+    import jax.numpy as jnp
+
+    if cfg.carry == "df32":
+        from relp_tpu.ops.df32 import df_from_f64
+        from relp_tpu.simplex.df_kernels import DfMatrix, DfVec
+
+        A = DfMatrix(*df_from_f64(problem.A))
+        A_scan = A.hi
+        b = DfVec(*df_from_f64(problem.b))
+        c1 = DfVec(*df_from_f64(problem.c_phase1))
+        c2 = DfVec(*df_from_f64(problem.c_phase2))
+    else:
+        A = jnp.asarray(problem.A)
+        if cfg.scan_dtype != "same" and cfg.scan_dtype != cfg.dtype:
+            A_scan = A.astype(jnp.dtype(cfg.scan_dtype))
+        else:
+            A_scan = A
+        b = jnp.asarray(problem.b)
+        c1 = jnp.asarray(problem.c_phase1)
+        c2 = jnp.asarray(problem.c_phase2)
+    return A, A_scan, b, c1, c2, jnp.asarray(problem.candidate_mask)
+
+
 def _run_phase(
     engine,
     state,
@@ -183,7 +218,12 @@ def _run_phase(
         if cfg.debug_validate and getattr(state, "Binv", None) is not None:
             from relp_tpu.utils.debug import validate_bfs_state
 
-            validate_bfs_state(state, A_full, b, c, feas_tol=cfg.feas_tol * 1e4)
+            if cfg.carry == "df32":
+                validate_bfs_state(
+                    state, A_full.hi, b.hi, c.hi, feas_tol=max(cfg.feas_tol, 1e-5) * 1e4
+                )
+            else:
+                validate_bfs_state(state, A_full, b, c, feas_tol=cfg.feas_tol * 1e4)
         if perturbed:
             state = _jitter(state)  # refactor recomputed xB from the true b
         if pricing == PRICE_STEEPEST:
@@ -276,20 +316,42 @@ def solve_relaxation(
     # f64 retries would run with f32-grade tolerances.
     tol_reset = getattr(cfg0, "requested_tolerances", {})
     if result.status is SolveStatus.NUMERICAL_ERROR:
-        # Escalation ladder: f64 with a tighter refactorization cadence
-        # first (fixes drift-induced singular bases, e.g. netlib CYCLE),
-        # then the fully conservative configuration.
-        for retry_cfg in (
+        # Escalation ladder: the double-float (two-f32) carry first — it
+        # fixes drift- and accumulation-induced singular bases (e.g. netlib
+        # CYCLE/GROW7) at native f32 speed — then emulated f64 with a
+        # tighter refactorization cadence, then the fully conservative
+        # configuration.
+        ladder = []
+        if (
+            cfg0.dtype == "float32"
+            and cfg0.carry == "native"
+            and mesh is None
+            and _f64_is_emulated()
+        ):
+            ladder.append(
+                dataclasses.replace(
+                    cfg0,
+                    carry="df32",
+                    refactor_period=min(cfg0.refactor_period, 100),
+                    chunk_size=min(cfg0.chunk_size, 100),
+                    **tol_reset,
+                )
+            )
+        ladder.append(
             dataclasses.replace(
                 cfg0,
                 dtype="float64",
+                carry="native",
                 refactor_period=min(cfg0.refactor_period, 60),
                 chunk_size=min(cfg0.chunk_size, 60),
                 **tol_reset,
-            ),
+            )
+        )
+        ladder.append(
             dataclasses.replace(
                 cfg0,
                 dtype="float64",
+                carry="native",
                 refactor_period=30,
                 chunk_size=30,
                 scan_dtype="same",
@@ -299,11 +361,17 @@ def solve_relaxation(
                         tol_reset.get("pivot_tol", cfg0.pivot_tol), 1e-7
                     ),
                 },
-            ),
-        ):
+            )
+        )
+        applied: List[str] = []
+        for retry_cfg in ladder:
+            applied.append(
+                "df32" if retry_cfg.carry == "df32" else retry_cfg.dtype
+            )
             result = _solve_relaxation_once(
                 provider, retry_cfg, warm_start_basis, mesh
             )
+            result.stats.escalations = list(applied)
             if result.status is not SolveStatus.NUMERICAL_ERROR:
                 break
     elif (
@@ -321,12 +389,38 @@ def solve_relaxation(
         and not result.stats.certified
     ):
         # f32 escalation: the fast path found something uncertifiable —
-        # re-solve at working f64 (warm-started from the f32 basis when one
-        # exists).
-        retry_cfg = dataclasses.replace(cfg0, dtype="float64", **tol_reset)
-        warm = result.basis if result.basis else warm_start_basis
-        result = _solve_relaxation_once(provider, retry_cfg, warm, mesh)
+        # re-solve with the double-float carry first (native f32 speed),
+        # then at emulated f64, warm-started from the best basis so far.
+        ladder = []
+        if cfg0.carry == "native" and mesh is None and _f64_is_emulated():
+            ladder.append(
+                dataclasses.replace(cfg0, carry="df32", **tol_reset)
+            )
+        ladder.append(
+            dataclasses.replace(
+                cfg0, dtype="float64", carry="native", **tol_reset
+            )
+        )
+        applied = []
+        for retry_cfg in ladder:
+            applied.append(
+                "df32" if retry_cfg.carry == "df32" else retry_cfg.dtype
+            )
+            warm = result.basis if result.basis else warm_start_basis
+            result = _solve_relaxation_once(provider, retry_cfg, warm, mesh)
+            result.stats.escalations = list(applied)
+            if result.stats.certified:
+                break
     return result
+
+
+def _f64_is_emulated() -> bool:
+    """True on backends where f64 matmuls are emulated (TPU: ~40x slower),
+    making the double-float carry the cheaper escalation rung.  On CPU
+    native f64 wins, so the ladder goes straight there."""
+    import jax
+
+    return jax.default_backend() not in ("cpu",)
 
 
 def _use_host_sparse(provider: MatrixProvider, cfg: SolverConfig) -> bool:
@@ -349,20 +443,15 @@ def _solve_relaxation_once(
     engine = make_engine(cfg)
     stats = SolveStats()
     t_start = time.time()
-    dtype = _np_dtype(cfg)
+    dtype = _lower_dtype(cfg)
+
+    if mesh is not None and cfg.carry == "df32":
+        raise ValueError("carry='df32' is a single-device rescue path")
 
     problem = lower_provider(
         provider, dtype=dtype, pad_to=cfg.pad_to, equilibrate=cfg.prescale
     )
-    A = jnp.asarray(problem.A)
-    if cfg.scan_dtype != "same" and cfg.scan_dtype != cfg.dtype:
-        A_scan = A.astype(jnp.dtype(cfg.scan_dtype))
-    else:
-        A_scan = A
-    b = jnp.asarray(problem.b)
-    c1 = jnp.asarray(problem.c_phase1)
-    c2 = jnp.asarray(problem.c_phase2)
-    candidate_mask = jnp.asarray(problem.candidate_mask)
+    A, A_scan, b, c1, c2, candidate_mask = _device_arrays(problem, cfg)
 
     def apply_mesh(A, A_scan, b, c1, c2, candidate_mask):
         # Column-shard the tableau over the mesh; GSPMD partitions the
@@ -455,15 +544,7 @@ def _solve_relaxation_once(
                 if j < problem.n_real:
                     new_basis[new_i] = j
             problem.initial_basis = new_basis
-            A = jnp.asarray(problem.A)
-            if cfg.scan_dtype != "same" and cfg.scan_dtype != cfg.dtype:
-                A_scan = A.astype(jnp.dtype(cfg.scan_dtype))
-            else:
-                A_scan = A
-            b = jnp.asarray(problem.b)
-            c1 = jnp.asarray(problem.c_phase1)
-            c2 = jnp.asarray(problem.c_phase2)
-            candidate_mask = jnp.asarray(problem.candidate_mask)
+            A, A_scan, b, c1, c2, candidate_mask = _device_arrays(problem, cfg)
             state = engine.init_state(problem, cfg)
 
         # Phase transition: real costs, fresh factorization
@@ -499,7 +580,9 @@ def _solve_relaxation_once(
 
     # --- extract the BFS over provider columns ---
     basis_np = np.asarray(state.basis)
-    xB_np = np.asarray(state.xB)
+    xB_np = np.asarray(state.xB, dtype=np.float64)
+    if hasattr(state, "xB_lo"):  # df32 carry: collapse the hi+lo pair
+        xB_np = xB_np + np.asarray(state.xB_lo, dtype=np.float64)
     entries = []
     structural_basis: List[int] = []
     for i in range(problem.m_real):
@@ -511,10 +594,11 @@ def _solve_relaxation_once(
                 value *= problem.col_scale[j]  # undo equilibration
             entries.append((j, value))
 
+    obj_val = float(state.obj) + float(getattr(state, "obj_lo", 0.0))
     result = OptimizationResult(
         status=SolveStatus.FINITE_OPTIMUM,
         bfs=None,
-        objective=float(state.obj),
+        objective=obj_val,
         basis=structural_basis,
         stats=stats,
     )

@@ -292,7 +292,105 @@ def _lu_forced_pivot(state, A, c, q, r):
     )
 
 
+class DoubleFloatEngine:
+    """Double-float (two-f32) carry: B^-1/x_B/pi as hi+lo pairs with
+    compensated updates (relp_tpu/simplex/df_kernels) — f64-grade drift
+    behavior at native f32 speed.  Problem arrays arrive as
+    DfMatrix/DfVec pairs (the driver lowers in f64 and splits)."""
+
+    name = "df32"
+
+    def init_state(self, problem: DeviceProblem, cfg: SolverConfig):
+        import jax.numpy as jnp
+
+        from relp_tpu.ops.df32 import df_from_f64
+        from relp_tpu.simplex.df_kernels import DfSimplexState
+
+        M, N = problem.M, problem.N
+        basis = problem.initial_basis
+        in_basis = np.zeros(N, dtype=bool)
+        in_basis[basis] = True
+        b64 = np.asarray(problem.b, dtype=np.float64)
+        cB = np.asarray(problem.c_phase1, dtype=np.float64)[basis]
+        xh, xl = df_from_f64(b64)  # initial basis matrix is the identity
+        pih, pil = df_from_f64(cB.copy())
+        oh, ol = df_from_f64(np.float64(cB @ b64))
+        return DfSimplexState(
+            Binv=jnp.eye(M, dtype=jnp.float32),
+            Binv_lo=jnp.zeros((M, M), dtype=jnp.float32),
+            basis=jnp.asarray(basis, dtype=jnp.int32),
+            xB=xh,
+            xB_lo=xl,
+            pi=pih,
+            pi_lo=pil,
+            obj=oh,
+            obj_lo=ol,
+            in_basis=jnp.asarray(in_basis),
+            gamma=jnp.ones(N, dtype=jnp.float32),
+            iteration=jnp.zeros((), jnp.int32),
+            status=jnp.asarray(RUNNING, jnp.int32),
+            degen_count=jnp.zeros((), jnp.int32),
+            inner=jnp.zeros((), jnp.int32),
+            price_start=jnp.zeros((), jnp.int32),
+            d=jnp.zeros(N, dtype=jnp.float32),
+        )
+
+    def refactor(self, state, A, b, c, cfg: SolverConfig, stats: SolveStats):
+        from relp_tpu.simplex.df_kernels import df_refactorize
+
+        state, res = df_refactorize(state, A, b, c, cfg.feas_tol)
+        stats.refactorizations += 1
+        return state, res
+
+    @staticmethod
+    def _scan_of(A):
+        from relp_tpu.simplex.df_kernels import DfMatrix
+
+        return A.hi if isinstance(A, DfMatrix) else A
+
+    def run_chunk(
+        self, state, A_scan, A_full, c, candidate_mask, mode, cfg,
+        stop_at_zero=False,
+    ):
+        from relp_tpu.simplex.df_kernels import df_run_chunk
+
+        return df_run_chunk(
+            state,
+            self._scan_of(A_scan),
+            A_full.hi,
+            A_full.lo,
+            c.hi,
+            c.lo,
+            candidate_mask,
+            pricing=mode,
+            chunk=cfg.chunk_size,
+            opt_tol=cfg.opt_tol,
+            pivot_tol=cfg.pivot_tol,
+            degen_tol=cfg.feas_tol,
+            stop_at_zero=stop_at_zero,
+        )
+
+    def recompute_gamma(self, state, A_scan):
+        return state._replace(
+            gamma=kernels.recompute_gamma(
+                state.Binv, self._scan_of(A_scan), state.in_basis
+            )
+        )
+
+    def tableau_row(self, state, A, r) -> np.ndarray:
+        from relp_tpu.simplex.df_kernels import df_tableau_row
+
+        return np.asarray(df_tableau_row(state, A, r))
+
+    def forced_pivot(self, state, A, c, q, r):
+        from relp_tpu.simplex.df_kernels import df_forced_pivot
+
+        return df_forced_pivot(state, A, c, q, r)
+
+
 def make_engine(cfg: SolverConfig):
+    if cfg.carry == "df32":
+        return DoubleFloatEngine()
     if cfg.basis_inverse == "lu":
         return LUEngine()
     return DenseEngine()

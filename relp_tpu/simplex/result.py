@@ -37,6 +37,9 @@ class SolveStats:
     # True when this LP was part of a batch solve but was routed through the
     # single-LP driver (numerics/certification gate or straggler cap).
     batch_fallback: bool = False
+    # Escalation rungs the driver retried with, in order (e.g. "df32",
+    # "float64") — no silent precision switches.
+    escalations: List[str] = field(default_factory=list)
 
 
 @dataclass
