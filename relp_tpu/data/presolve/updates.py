@@ -28,6 +28,17 @@ from relp_tpu.data.general_form import (
 )
 
 
+def safe_float(x: Fraction) -> float:
+    """float(Fraction) that saturates to +-inf instead of raising on
+    enormous values (the screen then treats the value as undecidable)."""
+    try:
+        return float(x)
+    except OverflowError:
+        import math
+
+        return math.inf if x > 0 else -math.inf
+
+
 class BoundChangeKind(enum.Enum):
     NONE = "none"
     NEW = "new"
@@ -95,6 +106,12 @@ class Updates:
         self.activity_bounds: Dict[Tuple[int, BoundDirection], Fraction] = {}
         self.removed_variables: List[Tuple[int, RemovedVariable]] = []
         self.constraints_marked_removed: List[int] = []
+        # Float mirrors of the latest bounds/b, used ONLY by the domain-
+        # propagation float screen (rules._for_entire_constraint).  Exact
+        # values remain authoritative; every write above also writes the
+        # mirror, reads are lazily cached from the exact value.
+        self._bounds_f: Dict[Tuple[int, BoundDirection], Optional[float]] = {}
+        self._b_f: Dict[int, float] = {}
 
         # Variables with no constraint entries are solved right away
         # (reference: Updates::new).
@@ -144,8 +161,17 @@ class Updates:
     def b_value(self, constraint: int) -> Fraction:
         return self.b.get(constraint, self.gf.b[constraint])
 
+    def b_value_f(self, constraint: int) -> float:
+        value = self._b_f.get(constraint)
+        if value is None:
+            value = safe_float(self.b_value(constraint))
+            self._b_f[constraint] = value
+        return value
+
     def change_b(self, constraint: int, change: Fraction) -> None:
-        self.b[constraint] = self.b_value(constraint) + change
+        new = self.b_value(constraint) + change
+        self.b[constraint] = new
+        self._b_f[constraint] = safe_float(new)
 
     def constraint_type(self, constraint: int) -> RangedConstraintRelation:
         return self.constraints.get(constraint, self.gf.constraint_types[constraint])
@@ -162,6 +188,18 @@ class Updates:
             if direction is BoundDirection.LOWER
             else variable.upper_bound
         )
+
+    _MISSING = object()
+
+    def variable_bound_f(self, j: int, direction: BoundDirection) -> Optional[float]:
+        """Float mirror of ``variable_bound`` (None when unbounded)."""
+        key = (j, direction)
+        value = self._bounds_f.get(key, Updates._MISSING)
+        if value is Updates._MISSING:
+            exact = self.variable_bound(j, direction)
+            value = None if exact is None else safe_float(exact)
+            self._bounds_f[key] = value
+        return value
 
     def is_variable_fixed(self, j: int) -> Optional[Fraction]:
         lower = self.variable_bound(j, BoundDirection.LOWER)
@@ -208,14 +246,17 @@ class Updates:
                 )
                 if original is None:
                     self.bounds[key] = new
+                    self._bounds_f[key] = safe_float(new)
                     return BoundChange.new()
                 if self._is_tighter(direction, new, original):
                     self.bounds[key] = new
+                    self._bounds_f[key] = safe_float(new)
                     return BoundChange.shifted(new - original)
                 return BoundChange.none()
         existing = self.bounds[key]
         if self._is_tighter(direction, new, existing):
             self.bounds[key] = new
+            self._bounds_f[key] = safe_float(new)
             return BoundChange.shifted(new - existing)
         return BoundChange.none()
 
@@ -228,12 +269,14 @@ class Updates:
             existing = self.activity_bounds[key]
             if self._is_tighter(direction, new, existing):
                 self.activity_bounds[key] = new
+                self._bounds_f[key] = safe_float(new)
                 return BoundChange.shifted(new - existing)
             return BoundChange.none()
         if key in self.bounds:
             existing = self.bounds[key]
             if self._is_tighter(direction, new, existing):
                 self.bounds[key] = new
+                self._bounds_f[key] = safe_float(new)
                 return BoundChange.shifted(new - existing)
             return BoundChange.none()
         variable = self.gf.variables[j]
@@ -244,9 +287,11 @@ class Updates:
         )
         if original is None:
             self.activity_bounds[key] = new
+            self._bounds_f[key] = safe_float(new)
             return BoundChange.new()
         if self._is_tighter(direction, new, original):
             self.activity_bounds[key] = new
+            self._bounds_f[key] = safe_float(new)
             return BoundChange.shifted(new - original)
         return BoundChange.none()
 

@@ -222,3 +222,49 @@ def test_budget_terminates_tightening_loops():
     )
     gf.presolve()  # must return, not loop forever
     assert gf.nr_constraints() >= 0
+
+
+# --- float-screen differential: screened == unscreened, bit-identical ---
+
+
+def _gf_state(gf):
+    """Full comparable snapshot of a presolved GeneralForm."""
+    return (
+        gf.objective,
+        gf.b,
+        gf.constraint_types,
+        gf.variables,
+        gf.fixed_cost,
+        gf.original_variables,
+        gf.from_active_to_original,
+        [list(col) for col in gf.constraints.columns],
+    )
+
+
+@pytest.mark.parametrize(
+    "name", ["ADLITTLE.SIF", "BRANDY.SIF", "E226.SIF", "AGG.SIF"]
+)
+def test_domain_propagation_screen_differential(name):
+    """The float screen must not change presolve outcomes at all: the
+    screened and unscreened engines produce bit-identical GeneralForms
+    (reference semantics: presolve is exact rational arithmetic)."""
+    from conftest import reference_problem
+    from relp_tpu.data.presolve import rules
+    from relp_tpu.io import mps_to_general_form, parse_fixed
+
+    path = reference_problem("netlib", name)
+    with open(path) as f:
+        text = f.read()
+
+    gf_screened = mps_to_general_form(parse_fixed(text))
+    gf_exact = mps_to_general_form(parse_fixed(text))
+
+    assert rules.SCREEN_ENABLED
+    gf_screened.presolve()
+    rules.SCREEN_ENABLED = False
+    try:
+        gf_exact.presolve()
+    finally:
+        rules.SCREEN_ENABLED = True
+
+    assert _gf_state(gf_screened) == _gf_state(gf_exact)
