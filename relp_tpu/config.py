@@ -129,6 +129,14 @@ class SolverConfig:
     # unmeshed configuration; other configs fall back to the XLA path.
     pallas_batch: bool = False
 
+    # Dual-simplex warm restart: when a warm-start basis is dual feasible
+    # but primal infeasible (the rhs changed since the basis was optimal —
+    # the scenario-resolve case), restore primal feasibility with dual
+    # pivots instead of falling back to a cold phase-1 start.  Beyond
+    # reference scope (its warm start, carry/mod.rs:444-478, requires
+    # primal feasibility).  Dense engine only; others ignore the flag.
+    dual_restart: bool = True
+
     # Runtime BFS invariant checking at refactorization boundaries
     # (reference: debug_assert_in_basic_feasible_solution_state,
     # tableau/mod.rs:319-357, which runs per iteration in debug builds).

@@ -235,6 +235,47 @@ def _run_phase(
     return state
 
 
+def _run_dual_phase(
+    engine,
+    state,
+    A_scan,
+    A_full,
+    b,
+    c,
+    candidate_mask,
+    cfg: SolverConfig,
+    stats: SolveStats,
+):
+    """Dual-simplex pivots until primal feasibility is restored.
+
+    Precondition: the current basis is dual feasible (checked by the caller).
+    Terminal states: OPTIMAL (primal feasible again — since dual feasibility
+    is the invariant, the basis is optimal), INFEASIBLE (dual unbounded =
+    primal infeasible), SINGULAR, or RUNNING (budget exhausted).  The caller
+    treats anything but OPTIMAL as "fall back to a cold start" so that the
+    exact certification paths (Farkas et al.) stay the single source of
+    truth for negative verdicts.
+    """
+    import jax.numpy as jnp
+
+    max_chunks = max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2
+    for _ in range(max_chunks):
+        state = engine.dual_run_chunk(
+            state, A_scan, A_full, c, candidate_mask, cfg
+        )
+        stats.chunks += 1
+        status = int(state.status)
+        if status != RUNNING:
+            break
+        state, residual = engine.refactor(state, A_full, b, c, cfg, stats)
+        if not np.isfinite(residual) or residual > 1e-4:
+            state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
+            break
+        if int(state.iteration) >= cfg.max_iterations:
+            break
+    return state
+
+
 def _drive_out_artificials(
     engine,
     state,
@@ -478,12 +519,46 @@ def _solve_relaxation_once(
         state = engine.init_state(problem, cfg)
         state, residual = engine.refactor(state, A, b, c2, cfg, stats)
         xB = np.asarray(state.xB)
-        if (
-            np.isfinite(residual)
-            and residual < 1e-6
-            and float(xB.min()) > -1e-7
-        ):
+        basis_ok = np.isfinite(residual) and residual < 1e-6
+        if basis_ok and float(xB.min()) > -1e-7:
             warm_started = True
+        elif (
+            basis_ok
+            and cfg.dual_restart
+            and mesh is None
+            and hasattr(engine, "dual_run_chunk")
+        ):
+            # Primal infeasible warm basis — the rhs changed since it was
+            # optimal (the scenario-resolve case).  If it is still *dual*
+            # feasible, dual pivots restore primal feasibility in a few
+            # steps with no phase 1.  Beyond reference scope: its warm
+            # start (carry/mod.rs:444-478) requires primal feasibility.
+            d = np.asarray(c2 - state.pi @ A, dtype=np.float64)
+            nonbasic = np.asarray(problem.candidate_mask) & ~np.asarray(
+                state.in_basis
+            )
+            dual_feasible = not np.any(d[nonbasic] < -cfg.opt_tol)
+            restored = False
+            if dual_feasible:
+                state = _run_dual_phase(
+                    engine, state, A_scan, A, b, c2, candidate_mask, cfg,
+                    stats,
+                )
+                if int(state.status) == OPTIMAL:
+                    stats.dual_iterations = int(state.iteration)
+                    # Hand an already-optimal state to the phase-2 loop,
+                    # which re-verifies optimality under the configured
+                    # pricing rule (and polishes at full precision).
+                    state = state._replace(
+                        status=jnp.asarray(RUNNING, jnp.int32)
+                    )
+                    warm_started = True
+                    restored = True
+            if not restored:
+                # Dual infeasible too, dual budget exhausted, or breakdown:
+                # cold start (keeps exact Farkas certification the single
+                # source of truth for INFEASIBLE verdicts).
+                problem.initial_basis = cold_basis
         else:
             # Infeasible or singular warm basis: cold start.
             problem.initial_basis = cold_basis

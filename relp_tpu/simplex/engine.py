@@ -126,6 +126,22 @@ class DenseEngine:
             pallas_interpret=pallas and jax.default_backend() == "cpu",
         )
 
+    def dual_run_chunk(self, state, A_scan, A_full, c, candidate_mask, cfg):
+        """Dual-simplex chunk (warm restarts after rhs changes); only the
+        dense engine carries the explicit inverse rows the dual pricing
+        needs per pivot."""
+        return kernels.dual_run_chunk(
+            state,
+            A_scan,
+            A_full,
+            c,
+            candidate_mask,
+            chunk=cfg.chunk_size,
+            opt_tol=cfg.opt_tol,
+            pivot_tol=cfg.pivot_tol,
+            feas_tol=cfg.feas_tol,
+        )
+
     def recompute_gamma(self, state, A_scan):
         return state._replace(
             gamma=kernels.recompute_gamma(state.Binv, A_scan, state.in_basis)

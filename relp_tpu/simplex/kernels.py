@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from relp_tpu.simplex.state import (
+    INFEASIBLE,
     OPTIMAL,
     RUNNING,
     SINGULAR,
@@ -311,6 +312,139 @@ def run_chunk(
         if stop_at_zero:
             running = running & (s.obj > 1e-9)
         return running
+
+    def body(s: SimplexState):
+        return iteration(s, A_scan, A_full, c, c_scan, candidate_mask)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def make_dual_iteration(opt_tol: float, pivot_tol: float, feas_tol: float):
+    """One fused *dual* simplex iteration (new capability — the reference
+    has no dual simplex; its warm-start story is IM::from_basis,
+    carry/mod.rs:444-478, which requires primal feasibility).
+
+    Invariant: dual feasibility (d >= -opt_tol).  Each pivot removes a
+    negative basic value while keeping reduced costs nonnegative, so an
+    optimal basis for a nearby rhs is restored to optimality in a few
+    pivots with no phase 1 — the warm-restart path for changing-b scenario
+    batches.
+
+    Leaving rule: most negative basic value.  Entering rule: the dual ratio
+    test min d_j / (-alpha_j) over alpha_j < -pivot_tol, tie-broken toward
+    the largest |alpha| for stability.
+    """
+
+    def iteration(state: SimplexState, A_scan, A_full, c, c_scan, candidate_mask):
+        M, N = A_scan.shape
+        scan_dtype = A_scan.dtype
+
+        # --- leaving row: most negative basic value ---
+        r = jnp.argmin(state.xB).astype(jnp.int32)
+        xB_r = state.xB[r]
+        feasible = xB_r >= -feas_tol
+
+        # --- pivot row of the tableau: alpha = Binv[r] @ A ---
+        rho = state.Binv[r]
+        alpha = rho.astype(scan_dtype) @ A_scan
+        d = state.d
+        eligible = (
+            candidate_mask & (~state.in_basis) & (alpha < -pivot_tol)
+        )
+        any_eligible = jnp.any(eligible)
+
+        # Dual ratio test; d is >= -opt_tol, clamp tiny negatives to 0 so
+        # ratios stay nonnegative.
+        big = jnp.array(jnp.inf, dtype=alpha.dtype)
+        d_eff = jnp.maximum(d, 0.0)
+        ratio = jnp.where(eligible, d_eff / (-alpha), big)
+        tmin = jnp.min(ratio)
+        near = eligible & (ratio <= tmin + 1e-7 * (1.0 + jnp.abs(tmin)))
+        q = jnp.argmax(jnp.where(near, -alpha, -big)).astype(jnp.int32)
+
+        # --- FTRAN at working precision ---
+        a_q = A_full[:, q]
+        w = state.Binv @ a_q
+        w_r = w[r]
+        pivot_ok = w_r < -jnp.asarray(pivot_tol, w.dtype)
+
+        new_status = jnp.where(
+            feasible,
+            OPTIMAL,
+            jnp.where(~any_eligible, INFEASIBLE,
+                      jnp.where(~pivot_ok, SINGULAR, RUNNING)),
+        ).astype(jnp.int32)
+        do_pivot = new_status == RUNNING
+
+        # --- basis change (identical product-form update to the primal) ---
+        safe_w_r = jnp.where(do_pivot, w_r, 1.0)
+        t = xB_r / safe_w_r  # >= 0: negative over negative
+        Binv_r = state.Binv[r] / safe_w_r
+        Binv_new = state.Binv - jnp.outer(w, Binv_r)
+        Binv_new = Binv_new.at[r].set(Binv_r)
+        xB_new = state.xB - t * w
+        xB_new = xB_new.at[r].set(t)
+
+        leaving = state.basis[r]
+        basis_new = state.basis.at[r].set(q)
+        in_basis_new = state.in_basis.at[leaving].set(False).at[q].set(True)
+
+        # Dual price update: theta_dual = d_q / (-alpha_q) >= 0;
+        # d' = d + theta_dual * alpha, d'_q = 0, d'_leaving = theta_dual.
+        d_q_full = c[q] - state.pi @ a_q
+        theta = d_q_full / (-safe_w_r)
+        pi_new = state.pi - theta * state.Binv[r]
+        d_next = d + theta.astype(scan_dtype) * alpha
+        d_next = d_next.at[q].set(0.0)
+        d_next = d_next.at[leaving].set(theta.astype(scan_dtype))
+        obj_new = c[basis_new] @ xB_new
+
+        select = lambda new, old: jnp.where(do_pivot, new, old)
+        return SimplexState(
+            Binv=select(Binv_new, state.Binv),
+            basis=select(basis_new, state.basis),
+            xB=select(xB_new, state.xB),
+            pi=select(pi_new, state.pi),
+            obj=select(obj_new, state.obj),
+            in_basis=select(in_basis_new, state.in_basis),
+            gamma=state.gamma,
+            iteration=state.iteration + do_pivot.astype(jnp.int32),
+            status=new_status,
+            degen_count=state.degen_count,
+            inner=state.inner + 1,
+            price_start=state.price_start,
+            d=select(d_next, state.d),
+        )
+
+    return iteration
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("chunk", "opt_tol", "pivot_tol", "feas_tol"),
+)
+def dual_run_chunk(
+    state: SimplexState,
+    A_scan,
+    A_full,
+    c,
+    candidate_mask,
+    *,
+    chunk: int,
+    opt_tol: float,
+    pivot_tol: float,
+    feas_tol: float,
+) -> SimplexState:
+    """Run up to ``chunk`` dual pivots on device without host round-trips."""
+    iteration = make_dual_iteration(opt_tol, pivot_tol, feas_tol)
+    c_scan = c.astype(A_scan.dtype)
+    state = state._replace(
+        inner=jnp.zeros((), jnp.int32),
+        d=c_scan - state.pi.astype(A_scan.dtype) @ A_scan,
+    )
+
+    def cond(s: SimplexState):
+        return (s.status == RUNNING) & (s.inner < chunk)
 
     def body(s: SimplexState):
         return iteration(s, A_scan, A_full, c, c_scan, candidate_mask)

@@ -28,6 +28,9 @@ class SolveStatus(enum.Enum):
 class SolveStats:
     iterations: int = 0
     phase1_iterations: int = 0
+    # Dual-simplex pivots taken restoring a warm basis after a rhs change
+    # (0 unless the dual warm-restart path ran).
+    dual_iterations: int = 0
     refactorizations: int = 0
     chunks: int = 0
     exact_cleanup_pivots: int = 0

@@ -16,6 +16,9 @@ RUNNING = 0
 OPTIMAL = 1
 UNBOUNDED = 2
 SINGULAR = 3  # refactorization failed / numerical breakdown
+INFEASIBLE = 4  # dual simplex: a negative basic value with no eligible
+#                 entering column (primal infeasible; the driver re-proves
+#                 this through the exact phase-1 Farkas path)
 
 
 class SimplexState(NamedTuple):
