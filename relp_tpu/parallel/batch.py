@@ -99,6 +99,56 @@ def megakernel_applicable(A, cfg_dtype: str, scan_dtype: str, pricing: int, mesh
 
 @functools.partial(
     jax.jit,
+    static_argnames=("chunk", "opt_tol", "pivot_tol", "feas_tol"),
+)
+def batched_dual_run_chunk(
+    batch_state: SimplexState,
+    A_scan,  # (B, M, N)
+    A_full,  # (B, M, N)
+    c,  # (B, N)
+    candidate_mask,  # (B, N)
+    *,
+    chunk: int,
+    opt_tol: float,
+    pivot_tol: float,
+    feas_tol: float,
+) -> SimplexState:
+    """Advance every LP by up to ``chunk`` *dual* pivots (lockstep, per-LP
+    freezing) — the batched warm-restart path for perturbed-rhs scenario
+    families sharing one dual-feasible basis (the base problem's optimum).
+    Terminal per-LP statuses: OPTIMAL (primal feasibility restored) or
+    INFEASIBLE (dual ray; the driver routes those to the single-LP fallback
+    for the exact Farkas certificate)."""
+    from relp_tpu.simplex.kernels import make_dual_iteration
+
+    iteration = make_dual_iteration(opt_tol, pivot_tol, feas_tol)
+    v_iter = jax.vmap(iteration, in_axes=(0, 0, 0, 0, 0, 0))
+    c_scan = c.astype(A_scan.dtype)
+    d = c_scan - jnp.einsum(
+        "bm,bmn->bn", batch_state.pi.astype(A_scan.dtype), A_scan
+    )
+    batch_state = batch_state._replace(
+        inner=jnp.zeros_like(batch_state.inner), d=d
+    )
+
+    def cond(s):
+        return jnp.any((s.status == RUNNING) & (s.inner < chunk))
+
+    def body(s):
+        new = v_iter(s, A_scan, A_full, c, c_scan, candidate_mask)
+        active = s.status == RUNNING
+
+        def sel(n, o):
+            extra = (1,) * (n.ndim - 1)
+            return jnp.where(active.reshape((-1,) + extra), n, o)
+
+        return jax.tree.map(sel, new, s)
+
+    return jax.lax.while_loop(cond, body, batch_state)
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=(
         "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero",
         "refactor_period", "newton_steps", "feas_tol",

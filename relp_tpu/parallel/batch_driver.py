@@ -31,7 +31,7 @@ from relp_tpu.simplex.engine import DenseEngine
 from relp_tpu.simplex.kernels import PRICE_STEEPEST
 from relp_tpu.simplex.lowering import lower_provider
 from relp_tpu.simplex.result import OptimizationResult, SolveStats, SolveStatus
-from relp_tpu.simplex.state import OPTIMAL, RUNNING
+from relp_tpu.simplex.state import OPTIMAL, RUNNING, SINGULAR
 
 
 def solve_batch(
@@ -41,6 +41,7 @@ def solve_batch(
     certify: Optional[bool] = None,
     shared_structure: bool = False,
     mesh=None,
+    warm_start_basis: Optional[Sequence[int]] = None,
 ) -> List[OptimizationResult]:
     """Solve a batch of LPs in lockstep on one device or across a mesh.
 
@@ -57,6 +58,16 @@ def solve_batch(
     the LP scenarios over the "batch" axis and the tableau columns over the
     "col" axis — dp x tp composed; GSPMD partitions the vmapped chunk loop
     and inserts the pricing argmax combine over ICI.
+
+    ``warm_start_basis`` (one basis — provider column per structural row,
+    e.g. ``result.basis`` from solving the unperturbed base problem) engages
+    the batched *dual-simplex* warm restart: every scenario starts from that
+    basis and dual pivots restore per-LP primal feasibility, skipping both
+    phases (``cfg.dual_restart``; meaningful with ``shared_structure=True``
+    where only b varies, so the base optimum stays dual feasible for every
+    scenario).  Scenarios for which the basis is not dual feasible — or that
+    prove primal infeasible via a dual ray — go through the cold path /
+    single-LP fallback, so verdicts and certificates are unchanged.
     """
     import jax
     import jax.numpy as jnp
@@ -237,17 +248,98 @@ def solve_batch(
         # xB/pi/obj), which downstream feasibility tests and extraction use.
         return batch
 
-    t0 = time.time()
-    # Phase 1 for all (LPs with complete slack bases terminate immediately
-    # at zero objective).
-    batch = run_phase(batch, c1, stop_at_zero=True)
-    phase1_iters = np.asarray(batch.iteration).copy()
+    def try_warm_dual(batch):
+        """Start every scenario from ``warm_start_basis`` and restore per-LP
+        primal feasibility with batched dual pivots.  Returns (batch,
+        per-LP dual pivot counts) on engagement, (batch, None) when the
+        basis is not dual feasible for every scenario (cold path instead —
+        all-or-nothing keeps the lockstep loops uniform)."""
+        from relp_tpu.parallel.batch import batched_dual_run_chunk
 
-    # Phase transition: real costs, reset status for feasible LPs.
-    feasible = np.asarray(batch.obj) <= cfg.phase1_tol
-    batch, _ = refactor(batch, c2)
-    status = np.where(feasible, RUNNING, np.asarray(batch.status))
-    batch = batch._replace(status=jnp.asarray(status.astype(np.int32)))
+        m_real = problems[0].m_real
+        if any(pr.m_real != m_real for pr in problems):
+            return batch, None  # heterogeneous rows: one shared basis is undefined
+        if len(warm_start_basis) != m_real:
+            raise ValueError(
+                f"warm_start_basis has {len(warm_start_basis)} entries for "
+                f"{m_real} structural rows"
+            )
+        warm_full = problems[0].initial_basis.copy()
+        warm_full[:m_real] = np.asarray(warm_start_basis, dtype=np.int32)
+        in_b = np.zeros(N, dtype=bool)
+        in_b[warm_full] = True
+        Bsz = len(problems)
+        wb = batch._replace(
+            basis=jnp.tile(jnp.asarray(warm_full, jnp.int32), (Bsz, 1)),
+            in_basis=jnp.tile(jnp.asarray(in_b), (Bsz, 1)),
+        )
+        wb, residual = refactor(wb, c2)
+        residual = np.asarray(residual)
+        # Dual feasibility of the shared basis per scenario (c is per-LP in
+        # the general lowering, so check all B reduced-cost vectors).
+        d = np.asarray(c2 - jnp.einsum("bm,bmn->bn", wb.pi, A))
+        nonbasic = np.asarray(cand) & ~np.asarray(wb.in_basis)
+        dmin = np.where(nonbasic, d, 0.0).min(axis=1)
+        if not (
+            np.isfinite(residual).all()
+            and (residual < 1e-6).all()
+            and (dmin >= -cfg.opt_tol).all()
+        ):
+            return batch, None
+        max_chunks = min(
+            max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2, 60
+        )
+        for _ in range(max_chunks):
+            wb = batched_dual_run_chunk(
+                wb, A_scan, A, c2, cand,
+                chunk=cfg.chunk_size,
+                opt_tol=cfg.opt_tol,
+                pivot_tol=cfg.pivot_tol,
+                feas_tol=cfg.feas_tol,
+            )
+            if not (np.asarray(wb.status) == RUNNING).any():
+                break
+            wb, res = refactor(wb, c2)
+            res = np.asarray(res)
+            bad = ~np.isfinite(res) | (res > 1e-4)
+            if bad.any():
+                st = np.asarray(wb.status)
+                st = np.where(bad & (st == RUNNING), SINGULAR, st)
+                wb = wb._replace(status=jnp.asarray(st.astype(np.int32)))
+        return wb, np.asarray(wb.iteration).copy()
+
+    t0 = time.time()
+    dual_iters = np.zeros(len(problems), dtype=np.int64)
+    warm_engaged = False
+    if warm_start_basis is not None and mesh is None and cfg.dual_restart:
+        batch_or_cold, warm_dual_iters = try_warm_dual(batch)
+        if warm_dual_iters is not None:
+            batch = batch_or_cold
+            dual_iters = warm_dual_iters
+            warm_engaged = True
+
+    if warm_engaged:
+        # Both phases skipped.  Dual-OPTIMAL LPs re-enter the primal loop,
+        # which re-verifies optimality under the configured pricing rule
+        # (and polishes at full precision); dual-INFEASIBLE / SINGULAR /
+        # budget-exhausted LPs stay frozen and fall back per LP below.
+        phase1_iters = np.zeros(len(problems), dtype=np.int64)
+        feasible = np.ones(len(problems), dtype=bool)
+        status = np.asarray(batch.status)
+        status = np.where(status == OPTIMAL, RUNNING, status)
+        batch, _ = refactor(batch, c2)
+        batch = batch._replace(status=jnp.asarray(status.astype(np.int32)))
+    else:
+        # Phase 1 for all (LPs with complete slack bases terminate
+        # immediately at zero objective).
+        batch = run_phase(batch, c1, stop_at_zero=True)
+        phase1_iters = np.asarray(batch.iteration).copy()
+
+        # Phase transition: real costs, reset status for feasible LPs.
+        feasible = np.asarray(batch.obj) <= cfg.phase1_tol
+        batch, _ = refactor(batch, c2)
+        status = np.where(feasible, RUNNING, np.asarray(batch.status))
+        batch = batch._replace(status=jnp.asarray(status.astype(np.int32)))
 
     # Phase 2 + full-precision polish.
     batch = run_phase(batch, c2, stop_at_zero=False)
@@ -279,6 +371,7 @@ def solve_batch(
         stats = SolveStats(
             iterations=int(iters[k]),
             phase1_iterations=int(phase1_iters[k]),
+            dual_iterations=int(dual_iters[k]),
             wall_time_s=wall,
         )
         ok = feasible[k] and status[k] == OPTIMAL

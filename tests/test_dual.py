@@ -143,6 +143,54 @@ def test_dual_restart_disabled_by_config():
     assert warm.stats.dual_iterations == 0
 
 
+def test_batched_dual_warm_restart():
+    """A perturbed-rhs scenario family warm-started from the base optimum:
+    every scenario skips both phases; verdicts/objectives match cold
+    single-LP solves."""
+    from relp_tpu.parallel.batch_driver import solve_batch
+
+    base = solve_relaxation(_provider([4, 6]), _cfg())
+    scenarios = [[4, 1], [4, 3], [4, 6], [5, 7]]
+    providers = [_provider(b) for b in scenarios]
+    results = solve_batch(
+        providers,
+        _cfg(),
+        certify=True,
+        shared_structure=True,
+        warm_start_basis=base.basis,
+    )
+    for r, b in zip(results, scenarios):
+        cold = solve_relaxation(_provider(b), _cfg())
+        assert r.status is SolveStatus.FINITE_OPTIMUM
+        assert r.exact_objective == cold.exact_objective
+        assert r.stats.phase1_iterations == 0
+    # The tightened scenario needed at least one dual pivot.
+    assert results[0].stats.dual_iterations >= 1
+
+
+def test_batched_dual_infeasible_scenario_falls_back():
+    from relp_tpu.parallel.batch_driver import solve_batch
+
+    base = solve_relaxation(_interval_provider(1), _cfg())
+    providers = [_interval_provider(lo) for lo in ["1/2", "9/5", 3]]
+    results = solve_batch(
+        providers,
+        _cfg(),
+        certify=True,
+        shared_structure=True,
+        warm_start_basis=base.basis,
+    )
+    assert results[0].status is SolveStatus.FINITE_OPTIMUM
+    assert results[0].exact_objective == Fraction(1, 2)
+    assert results[1].status is SolveStatus.FINITE_OPTIMUM
+    assert results[1].exact_objective == Fraction(9, 5)
+    # lo=3 contradicts x <= 2: the dual ray routes it to the single-LP
+    # fallback, which proves infeasibility with the exact Farkas certificate.
+    assert results[2].status is SolveStatus.INFEASIBLE
+    assert results[2].stats.certified
+    assert results[2].stats.batch_fallback
+
+
 def test_dual_restart_netlib_scale():
     """AFIRO re-solved from its own optimal basis after a 1% rhs wobble:
     no phase 1, certified optimum equal to the cold solve's."""
