@@ -166,7 +166,12 @@ def main():
     )
 
     # --- scenario batch: 64 perturbed LPs in lockstep (dp analog) ---
-    from relp_tpu.parallel.batch import batched_run_chunk, make_batch_state
+    from relp_tpu.parallel.batch import (
+        batched_run_chunk,
+        make_batch_state,
+        megakernel_applicable,
+        megakernel_run_chunk,
+    )
 
     B, mb, nb = 64, 256, 512
     states, As, cs, cands = [], [], [], []
@@ -183,7 +188,7 @@ def main():
     c_b = jnp.asarray(np.stack(cs))
     cand_b = jnp.asarray(np.stack(cands))
 
-    def run_batch(chunk, rep):
+    def run_batch_xla(chunk, rep):
         st = batch._replace(xB=batch.xB + (1e-9 * (rep + 1)))
         t0 = time.time()
         out = batched_run_chunk(
@@ -201,26 +206,56 @@ def main():
         total = int(np.asarray(out.iteration).sum())
         return time.time() - t0, total
 
-    try:
+    def run_batch_mega(chunk, rep):
+        st = batch._replace(xB=batch.xB + (1e-9 * (rep + 1)))
+        t0 = time.time()
+        out = megakernel_run_chunk(
+            st,
+            A_b,
+            c_b,
+            cand_b,
+            chunk=chunk,
+            opt_tol=1e-7,
+            pivot_tol=1e-7,
+            degen_tol=1e-7,
+        )
+        total = int(np.asarray(out.iteration).sum())
+        return time.time() - t0, total
+
+    def measure_batch(run_batch):
+        """Interleaved A/B chunk differencing over the batch; never negative."""
         for chunk in (10, 120):  # compile outside the timed region
             run_batch(chunk, -1)
         batch_estimates = []
         d_big_all, i_b2 = [], 0
-        for rep in range(4):  # interleaved A/B, same as _measure
+        for rep in range(4):
             d_s, i_s = run_batch(10, rep)
             d_b2, i_b2 = run_batch(120, rep)
             d_big_all.append(d_b2)
             if i_b2 > i_s and d_b2 > d_s:
                 batch_estimates.append((d_b2 - d_s) / (i_b2 - i_s))
         if batch_estimates:
-            batch_per_pivot = float(np.median(batch_estimates))
-        elif i_b2 > 0:
+            return float(np.median(batch_estimates))
+        if i_b2 > 0:
             # Contention fallback incl. dispatch overhead — never negative.
-            batch_per_pivot = min(d_big_all) / i_b2
+            return min(d_big_all) / i_b2
+        return None
+
+    try:
+        # Production path: the fused Pallas megakernel (auto-selected by the
+        # batch driver at this shape/config).
+        if megakernel_applicable(A_b, "float32", "same", kernels.PRICE_STEEPEST):
+            batch_per_pivot = measure_batch(run_batch_mega)
         else:
             batch_per_pivot = None
     except Exception:  # noqa: BLE001 — batch metric is best-effort detail
         batch_per_pivot = None
+    try:
+        batch_xla_per_pivot = measure_batch(run_batch_xla)
+    except Exception:  # noqa: BLE001
+        batch_xla_per_pivot = None
+    if batch_per_pivot is None:
+        batch_per_pivot = batch_xla_per_pivot
 
     value = 1.0 / per_f32 if per_f32 else 0.0
     result = {
@@ -240,6 +275,11 @@ def main():
             ),
             "batched_64x_m256_pivots_per_s": (
                 round(1.0 / batch_per_pivot, 1) if batch_per_pivot else None
+            ),
+            "batched_64x_m256_xla_pivots_per_s": (
+                round(1.0 / batch_xla_per_pivot, 1)
+                if batch_xla_per_pivot
+                else None
             ),
             "methodology": "marginal chunk differencing (10 vs 300 pivots)",
             "device": str(jax.devices()[0]),

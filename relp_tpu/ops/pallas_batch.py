@@ -34,16 +34,69 @@ from jax.experimental.pallas import tpu as pltpu
 
 from relp_tpu.simplex.state import OPTIMAL, RUNNING, UNBOUNDED
 
-_NEG = -3.0e38  # ~-inf in f32, Mosaic-safe literal
+_NEG = np.float32(-3.0e38)  # ~-inf in f32, Mosaic-safe literal
 
 
 def _argmax_first(score, ids, size):
-    """Index of the first maximum of ``score`` (shape (1, K))."""
+    """Index of the first maximum of ``score`` (shape (1, K)).
+
+    ``size`` must be a concrete np.int32: under jax_enable_x64 a bare
+    Python int promotes the where to i64, and Mosaic's i64 conversion
+    lowering recurses forever (see CLAUDE.md).
+    """
     smax = jnp.max(score)
     return jnp.min(jnp.where(score == smax, ids, size)).astype(jnp.int32), smax
 
 
-def _make_kernel(chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N):
+def _make_kernel(
+    chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N,
+    noise_eps=0.0, hi_scan=False,
+):
+    # Concrete int32 copies of every Python-int constant used inside the
+    # kernel: under jax_enable_x64 bare ints trace as i64 and Mosaic cannot
+    # legalize the conversions (infinite recursion in its convert lowering).
+    M32 = np.int32(M)
+    N32 = np.int32(N)
+    # ... and every float literal/tolerance as np.float32 (a bare Python
+    # float is weak f64 under x64, and f64 scalars cannot be legalized by
+    # Mosaic).
+    f1 = np.float32(1.0)
+    f0 = np.float32(0.0)
+    fhalf = np.float32(0.5)
+    f2 = np.float32(2.0)
+    opt_tol = np.float32(opt_tol)
+    pivot_tol = np.float32(pivot_tol)
+    degen_tol = np.float32(degen_tol)
+    harris_delta = np.float32(1e-7)
+    zero_obj_tol = np.float32(1e-9)
+    RUN32 = np.int32(RUNNING)
+    OPT32 = np.int32(OPTIMAL)
+    UNB32 = np.int32(UNBOUNDED)
+    # noise_eps > 0 (hardware MXU): the in-loop d comes from the fast-path
+    # single-pass-bf16 Goldfarb scan, so eligibility gets a noise-scaled
+    # floor and the picked column a working-precision recheck — exactly
+    # make_iteration's guarded-scan semantics.  0.0 in interpret mode keeps
+    # the CPU equivalence tests bit-identical to the XLA path.  hi_scan
+    # (polish mode) runs the Goldfarb scan at HIGHEST instead: exact
+    # pricing, no guards needed — the optimality-tail terminator.
+    guarded = float(noise_eps) > 0.0 and not hi_scan
+    noise_eps = np.float32(noise_eps)
+
+    # Matmul precision: Mosaic (like XLA) lowers f32 dots as SINGLE-PASS
+    # bf16 on the MXU by default (~2e-3 relative error — measured on v5e,
+    # scripts/probe_dot_precision.py).  The XLA iteration survives because
+    # its state-critical ops are not matmuls: A[:, q] is an exact gather,
+    # jnp.outer is an elementwise broadcast, and XLA matvecs default to
+    # full f32.  Routing those through default-precision MXU dots corrupts
+    # the carried inverse by ~bf16 noise PER PIVOT (measured: refactor
+    # residual 1.8 after ~30 pivots; Newton-Schulz then diverges and phase 2
+    # explodes).  So: every dot whose result enters the carried state runs
+    # at HIGHEST (multi-pass, full f32 — verified supported by Mosaic);
+    # only the wide Goldfarb/pricing scan (which feeds d/gamma, pricing
+    # quality not state) keeps the fast single-pass path, exactly like the
+    # XLA iteration's stacked P @ A_scan.
+    HI = jax.lax.Precision.HIGHEST
+
     def kernel(
         A_ref, c_ref, cand_ref,
         Binv_in, xB_in, pi_in, cB_in, basis_in, inb_in, gamma_in, meta_in,
@@ -70,17 +123,18 @@ def _make_kernel(chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N):
         inb_out[0] = inb_in[0]
         gamma_out[0] = gamma_in[0]
         meta_out[0] = meta_in[0]
-        # Chunk-entry reduced-cost refresh (run_chunk does the same).
+        # Chunk-entry reduced-cost refresh (run_chunk does the same; XLA
+        # lowers that vector-matrix product at full precision).
         d_scr[...] = c - jnp.dot(
-            pi_in[0], A, preferred_element_type=jnp.float32
+            pi_in[0], A, preferred_element_type=jnp.float32, precision=HI
         )
 
-        def body(_k, carry):
+        def body(k, carry):
             status = meta_out[0, 0, 0]
             obj = jnp.sum(cB_out[0] * xB_out[0])
-            active = status == RUNNING
+            active = status == RUN32
             if stop_at_zero:
-                active = active & (obj > 1e-9)
+                active = active & (obj > zero_obj_tol)
 
             @pl.when(active)
             def _():
@@ -94,64 +148,91 @@ def _make_kernel(chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N):
                 d = d_scr[...]
 
                 # --- pricing (steepest edge) ---
-                eligible = (cand > 0.5) & (inb < 0.5) & (d < -opt_tol)
+                if guarded:
+                    # k == 0 prices on the clean (HIGHEST-precision) entry
+                    # d: the exact arbiter, mirroring make_iteration's
+                    # inner == 0 exemption.
+                    threshold = jnp.where(
+                        k == np.int32(0),
+                        opt_tol,
+                        opt_tol + noise_eps * (f1 + jnp.max(jnp.abs(pi))),
+                    )
+                else:
+                    threshold = opt_tol
+                eligible = (cand > fhalf) & (inb < fhalf) & (d < -threshold)
                 score = jnp.where(eligible, d * d / gamma, _NEG)
-                q, smax = _argmax_first(score, col_ids, N)
+                q, smax = _argmax_first(score, col_ids, N32)
                 any_eligible = smax > _NEG
                 onehot_q = (col_ids == q).astype(jnp.float32)  # (1, N)
 
-                # --- FTRAN ---
+                # --- FTRAN (state-critical: full precision) ---
                 a_q = jax.lax.dot_general(
                     A, onehot_q,
                     dimension_numbers=(((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
+                    precision=HI,  # exact column extraction
                 )  # (M, 1)
-                w = jnp.dot(Binv, a_q, preferred_element_type=jnp.float32)
-                # Working-precision recheck like make_iteration's d_q_full.
+                w = jnp.dot(
+                    Binv, a_q, preferred_element_type=jnp.float32, precision=HI
+                )
+                # Working-precision recheck like make_iteration's d_q_full
+                # (elementwise multiply + reduce: exact f32 on the VPU).
                 c_q = jnp.sum(c * onehot_q)
                 d_q = c_q - jnp.sum(pi * a_q.reshape(1, M))
+                if guarded:
+                    # A scan-noise phantom pick means nothing real is
+                    # visible: freeze OPTIMAL; the driver re-verifies at the
+                    # next clean chunk boundary and re-arms if needed.
+                    any_eligible = any_eligible & (d_q < -opt_tol)
 
                 # --- Harris two-pass ratio test (relative delta) ---
                 wc = w  # (M, 1)
                 pos = wc > pivot_tol
                 xBc = xB.reshape(M, 1)
-                xB_eff = jnp.maximum(xBc, 0.0)
-                safe_w = jnp.where(pos, wc, 1.0)
+                xB_eff = jnp.maximum(xBc, f0)
+                safe_w = jnp.where(pos, wc, f1)
                 big = jnp.float32(3.0e38)
                 ratio = jnp.where(pos, xB_eff / safe_w, big)
-                delta = 1e-7 * (1.0 + xB_eff)
+                delta = harris_delta * (f1 + xB_eff)
                 relaxed = jnp.where(pos, (xB_eff + delta) / safe_w, big)
                 theta = jnp.min(relaxed)
                 ok = pos & (ratio <= theta)
-                any_positive = jnp.any(pos)
+                # jnp.any(bool) routes through an f64 conversion in Mosaic
+                # under x64; reduce in f32 instead.
+                any_positive = jnp.max(jnp.where(pos, f1, f0)) > fhalf
                 wmax = jnp.max(jnp.where(ok, wc, _NEG))
                 r = jnp.min(
-                    jnp.where(ok & (wc == wmax), mrow_ids, M)
+                    jnp.where(ok & (wc == wmax), mrow_ids, M32)
                 ).astype(jnp.int32)
                 onehot_r = (mrow_ids == r).astype(jnp.float32)  # (M, 1)
 
                 new_status = jnp.where(
                     ~any_eligible,
-                    OPTIMAL,
-                    jnp.where(~any_positive, UNBOUNDED, RUNNING),
+                    OPT32,
+                    jnp.where(~any_positive, UNB32, RUN32),
                 ).astype(jnp.int32)
-                do = new_status == RUNNING
+                do = new_status == RUN32
                 dof = do.astype(jnp.float32)
 
                 # --- product-form rank-1 update ---
                 w_r = jnp.sum(wc * onehot_r)
-                safe_wr = jnp.where(do, w_r, 1.0)
+                safe_wr = jnp.where(do, w_r, f1)
                 t = jnp.sum(xB_eff * onehot_r) / safe_wr
                 Binv_r = (
                     jax.lax.dot_general(
                         onehot_r, Binv,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
+                        precision=HI,  # exact row extraction
                     )
                     / safe_wr
                 )  # (1, M)
-                Binv_new = Binv - jnp.dot(
-                    wc, Binv_r, preferred_element_type=jnp.float32
+                # Rank-1 update as an elementwise broadcast product (VPU,
+                # exact f32) — a (M,1)x(1,M) MXU dot would truncate both
+                # operands to bf16.
+                Binv_new = Binv - (
+                    jnp.broadcast_to(wc, (M, M))
+                    * jnp.broadcast_to(Binv_r, (M, M))
                 )
                 Binv_new = jnp.where(
                     mm_row_ids == r, jnp.broadcast_to(Binv_r, (M, M)), Binv_new
@@ -160,40 +241,47 @@ def _make_kernel(chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N):
                 xB_new = xB - t * w_row
                 xB_new = jnp.where(mcol_ids == r, t, xB_new)
 
+                # Integer reductions route through an i64 accumulator under
+                # x64 which Mosaic rejects; reduce in f32 (indices < 2^24
+                # are exact) and cast back.
                 leaving = jnp.sum(
-                    jnp.where(mcol_ids == r, basis, 0)
+                    jnp.where(mcol_ids == r, basis.astype(jnp.float32), f0)
                 ).astype(jnp.int32)
                 basis_new = jnp.where(mcol_ids == r, q, basis)
                 inb_new = jnp.where(
                     col_ids == q,
-                    1.0,
-                    jnp.where(col_ids == leaving, 0.0, inb),
+                    f1,
+                    jnp.where(col_ids == leaving, f0, inb),
                 )
                 cB_new = jnp.where(mcol_ids == r, c_q, cB)
                 pi_new = pi + d_q * Binv_r
 
                 # --- fused Goldfarb scan: one stacked (3, M) @ (M, N) ---
-                gamma_q = 1.0 + jnp.sum(wc * wc)
+                gamma_q = f1 + jnp.sum(wc * wc)
                 v = jax.lax.dot_general(
                     wc, Binv,
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # (1, M), OLD inverse
                 P = jnp.concatenate([pi_new, v, Binv_r], axis=0)  # (3, M)
-                S = jnp.dot(P, A, preferred_element_type=jnp.float32)
+                S = jnp.dot(
+                    P, A,
+                    preferred_element_type=jnp.float32,
+                    precision=HI if hi_scan else None,
+                )
                 d_next = c - S[0:1, :]
                 inner = S[1:2, :]
                 abar = S[2:3, :]
                 gamma_new = jnp.maximum(
-                    gamma - 2.0 * abar * inner + abar * abar * gamma_q,
-                    1.0 + abar * abar,
+                    gamma - f2 * abar * inner + abar * abar * gamma_q,
+                    f1 + abar * abar,
                 )
                 gamma_new = jnp.where(
                     col_ids == leaving,
-                    jnp.maximum(gamma_q / (safe_wr * safe_wr), 1.0),
+                    jnp.maximum(gamma_q / (safe_wr * safe_wr), f1),
                     gamma_new,
                 )
-                gamma_new = jnp.where(col_ids == q, 1.0, gamma_new)
+                gamma_new = jnp.where(col_ids == q, f1, gamma_new)
 
                 sel = lambda new, old: jnp.where(do, new, old)
                 Binv_out[0] = sel(Binv_new, Binv)
@@ -208,7 +296,9 @@ def _make_kernel(chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N):
                 ids8 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
                 degen = meta_out[0, 0, 2]
                 degen_new = jnp.where(
-                    do, jnp.where(t <= degen_tol, degen + 1, 0), degen
+                    do,
+                    jnp.where(t <= degen_tol, degen + np.int32(1), np.int32(0)),
+                    degen,
                 ).astype(jnp.int32)
                 it_new = meta_out[0, 0, 1] + do.astype(jnp.int32)
                 meta_new = jnp.where(ids8 == 0, new_status, meta)
@@ -218,7 +308,16 @@ def _make_kernel(chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N):
 
             return carry
 
-        jax.lax.fori_loop(0, chunk, body, jnp.int32(0))
+        # Explicit int32-counter while_loop: fori_loop's internal counter is
+        # i64 under jax_enable_x64 no matter the bound dtypes, which Mosaic
+        # cannot legalize.
+        chunk32 = np.int32(chunk)
+
+        def step(k):
+            body(k, jnp.int32(0))  # mutates the out/scratch refs
+            return k + np.int32(1)
+
+        jax.lax.while_loop(lambda k: k < chunk32, step, jnp.int32(0))
 
     return kernel
 
@@ -227,7 +326,7 @@ def _make_kernel(chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N):
     jax.jit,
     static_argnames=(
         "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero",
-        "interpret",
+        "interpret", "noise_eps", "hi_scan",
     ),
 )
 def batched_pivot_chunk(
@@ -250,6 +349,8 @@ def batched_pivot_chunk(
     degen_tol: float,
     stop_at_zero: bool = False,
     interpret: bool = False,
+    noise_eps: float = 0.0,
+    hi_scan: bool = False,
 ):
     """Run up to ``chunk`` steepest-edge pivots for every LP in the batch.
 
@@ -282,7 +383,8 @@ def batched_pivot_chunk(
     vec_meta = full((1, 8))
 
     kernel = _make_kernel(
-        chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N
+        chunk, opt_tol, pivot_tol, degen_tol, stop_at_zero, M, N,
+        noise_eps=noise_eps, hi_scan=hi_scan,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((B, M, M), f32),

@@ -13,7 +13,12 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from relp_tpu.simplex.kernels import PRICE_STEEPEST, make_iteration
+from relp_tpu.simplex.kernels import (
+    _HI,
+    PRICE_STEEPEST,
+    make_iteration,
+    noisy_f32_matmul,
+)
 from relp_tpu.simplex.state import RUNNING, SimplexState
 
 
@@ -34,6 +39,7 @@ def megakernel_run_chunk(
     degen_tol: float,
     stop_at_zero: bool = False,
     interpret: bool = False,
+    hi_scan: bool = False,
 ) -> SimplexState:
     """Advance the batch by up to ``chunk`` pivots through the fused Pallas
     megakernel (relp_tpu/ops/pallas_batch.py) — per-LP VMEM-resident pivot
@@ -44,7 +50,14 @@ def megakernel_run_chunk(
     carried ``d`` is left stale (every chunk entry refreshes it anyway).
     """
     from relp_tpu.ops.pallas_batch import batched_pivot_chunk
+    from relp_tpu.simplex.kernels import _NOISY_F32_EPS
 
+    # Hardware Mosaic f32 dots are single-pass bf16: the kernel needs the
+    # guarded-scan semantics (noise floor + pick recheck).  Interpret mode
+    # computes exact f32 and stays bit-identical to the XLA path.
+    noise_eps = (
+        _NOISY_F32_EPS if (not interpret and noisy_f32_matmul()) else 0.0
+    )
     Binv, xB, pi, basis, in_basis, gamma, status, iteration, degen = (
         batched_pivot_chunk(
             A,
@@ -65,6 +78,8 @@ def megakernel_run_chunk(
             degen_tol=degen_tol,
             stop_at_zero=stop_at_zero,
             interpret=interpret,
+            noise_eps=noise_eps,
+            hi_scan=hi_scan,
         )
     )
     cB = jnp.take_along_axis(c, basis, axis=1)
@@ -99,7 +114,7 @@ def megakernel_applicable(A, cfg_dtype: str, scan_dtype: str, pricing: int, mesh
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "opt_tol", "pivot_tol", "feas_tol"),
+    static_argnames=("chunk", "opt_tol", "pivot_tol", "feas_tol", "noisy_scan"),
 )
 def batched_dual_run_chunk(
     batch_state: SimplexState,
@@ -112,6 +127,7 @@ def batched_dual_run_chunk(
     opt_tol: float,
     pivot_tol: float,
     feas_tol: float,
+    noisy_scan: bool = False,
 ) -> SimplexState:
     """Advance every LP by up to ``chunk`` *dual* pivots (lockstep, per-LP
     freezing) — the batched warm-restart path for perturbed-rhs scenario
@@ -121,11 +137,19 @@ def batched_dual_run_chunk(
     for the exact Farkas certificate)."""
     from relp_tpu.simplex.kernels import make_dual_iteration
 
-    iteration = make_dual_iteration(opt_tol, pivot_tol, feas_tol)
+    iteration = make_dual_iteration(
+        opt_tol, pivot_tol, feas_tol, noisy_scan=noisy_scan
+    )
     v_iter = jax.vmap(iteration, in_axes=(0, 0, 0, 0, 0, 0))
     c_scan = c.astype(A_scan.dtype)
+    # HIGHEST: the batched einsum is single-pass bf16 by default on
+    # accelerators (scripts/probe_batched_precision.py) — noisy entry
+    # reduced costs break dual-feasibility bookkeeping.
     d = c_scan - jnp.einsum(
-        "bm,bmn->bn", batch_state.pi.astype(A_scan.dtype), A_scan
+        "bm,bmn->bn",
+        batch_state.pi.astype(A_scan.dtype),
+        A_scan,
+        precision=_HI,
     )
     batch_state = batch_state._replace(
         inner=jnp.zeros_like(batch_state.inner), d=d
@@ -151,7 +175,7 @@ def batched_dual_run_chunk(
     jax.jit,
     static_argnames=(
         "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero",
-        "refactor_period", "newton_steps", "feas_tol",
+        "refactor_period", "newton_steps", "feas_tol", "noisy_scan", "hi_scan",
     ),
 )
 def batched_run_chunk(
@@ -171,6 +195,8 @@ def batched_run_chunk(
     b=None,  # (B, M) right-hand sides, required when refactor_period > 0
     newton_steps: int = 1,
     feas_tol: float = 1e-9,
+    noisy_scan: bool = False,
+    hi_scan: bool = False,
 ) -> SimplexState:
     """Advance every LP in the batch by up to ``chunk`` pivots.
 
@@ -190,12 +216,20 @@ def batched_run_chunk(
     from relp_tpu.simplex import kernels
     from relp_tpu.simplex.state import OPTIMAL
 
-    iteration = make_iteration(pricing, opt_tol, pivot_tol, degen_tol)
+    iteration = make_iteration(
+        pricing, opt_tol, pivot_tol, degen_tol,
+        noisy_scan=noisy_scan, hi_scan=hi_scan,
+    )
     v_iter = jax.vmap(iteration, in_axes=(0, 0, 0, 0, 0, 0))
     c_scan = c.astype(A_scan.dtype)
 
     def refresh_d(s):
-        d = c_scan - jnp.einsum("bm,bmn->bn", s.pi.astype(A_scan.dtype), A_scan)
+        # HIGHEST: the batched einsum is single-pass bf16 by default on
+        # accelerators — a noisy chunk-entry d fabricates candidates and
+        # blocks OPTIMAL forever (scripts/probe_batched_precision.py).
+        d = c_scan - jnp.einsum(
+            "bm,bmn->bn", s.pi.astype(A_scan.dtype), A_scan, precision=_HI
+        )
         return s._replace(d=d)
 
     # Refresh the carried per-LP reduced costs (pi may have changed between

@@ -163,6 +163,12 @@ def solve_batch(
         )
     )
 
+    from relp_tpu.simplex.kernels import noisy_f32_matmul
+
+    # Resolved OUTSIDE every jitted function: noisy_scan is a static jit
+    # argument (a trace-time read would freeze into shared jit caches).
+    noisy_backend = noisy_f32_matmul()
+
     pricing = _PRICING_CODES[cfg.pricing]
     kwargs = dict(
         pricing=pricing,
@@ -170,6 +176,7 @@ def solve_batch(
         opt_tol=cfg.opt_tol,
         pivot_tol=cfg.pivot_tol,
         degen_tol=cfg.feas_tol,
+        noisy_scan=noisy_backend,
     )
 
     def refactor(batch, c):
@@ -188,30 +195,52 @@ def solve_batch(
         and megakernel_applicable(A, cfg.dtype, cfg.scan_dtype, pricing, mesh)
     )
 
-    def step(batch, c, stop_at_zero):
+    def step(batch, c, stop_at_zero, hi_scan):
         """One chunk of pivots + refactorization + gamma/d refresh as a
-        single fused dispatch, returning a packed (3, B) report array so the
+        single fused dispatch, returning a packed (4, B) report array so the
         host needs exactly one small pull per chunk.  Tunnel round trips
         cost ~35 ms each and dominated this driver when chunk, refactor,
         gamma, and the status/obj/iteration pulls each went separately
         (measured: 2.9k end-to-end pivots/s vs 314k inside the loop)."""
+        it_before = batch.iteration
         if use_megakernel:
             import jax as _jax
 
             batch = megakernel_run_chunk(
                 batch, A, c, cand, stop_at_zero=stop_at_zero,
                 interpret=_jax.default_backend() == "cpu",
-                **{k: v for k, v in kwargs.items() if k != "pricing"},
+                hi_scan=hi_scan,
+                **{
+                    k: v
+                    for k, v in kwargs.items()
+                    if k not in ("pricing", "noisy_scan")
+                },
             )
         else:
             batch = batched_run_chunk(
-                batch, A_scan, A, c, cand, stop_at_zero=stop_at_zero, **kwargs
+                batch, A_scan, A, c, cand, stop_at_zero=stop_at_zero,
+                hi_scan=hi_scan, **kwargs
+            )
+        rearm = jnp.zeros_like(batch.status, dtype=bool)
+        if noisy_backend and not hi_scan:
+            # On accelerators the in-chunk reduced costs are fast-path
+            # (single-pass bf16) and OPTIMAL may be a scan-noise freeze.
+            # Only an OPTIMAL reached with ZERO pivots this chunk — i.e.
+            # decided by the clean (HIGHEST-precision) chunk-entry d — is
+            # final; anything else re-arms, and the host switches the phase
+            # to polish chunks (hi_scan: exact HIGHEST-precision scans) so
+            # the sub-noise optimality tail terminates instead of thrashing
+            # at one pivot per chunk dispatch.
+            rearm = (batch.status == OPTIMAL) & (batch.iteration > it_before)
+            batch = batch._replace(
+                status=jnp.where(rearm, RUNNING, batch.status)
             )
         report = jnp.stack(
             [
                 batch.status.astype(A.dtype),
                 batch.obj.astype(A.dtype),
                 batch.iteration.astype(A.dtype),
+                rearm.astype(A.dtype),
             ]
         )
         # Newton-Schulz refresh of the carried inverses (pure batched
@@ -223,7 +252,7 @@ def solve_batch(
             batch = batch._replace(gamma=v_gamma(Binv, A_scan, batch.in_basis))
         return batch, report
 
-    step = jax.jit(step, static_argnames=("stop_at_zero",))
+    step = jax.jit(step, static_argnames=("stop_at_zero", "hi_scan"))
 
     def run_phase(batch, c, stop_at_zero):
         if pricing == PRICE_STEEPEST:
@@ -234,8 +263,9 @@ def solve_batch(
         max_chunks = min(
             max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2, 60
         )
+        hi = False
         for _ in range(max_chunks):
-            batch, report = step(batch, c, stop_at_zero)
+            batch, report = step(batch, c, stop_at_zero, hi)
             report = np.asarray(report)
             status = report[0].astype(np.int32)
             obj = report[1]
@@ -244,6 +274,10 @@ def solve_batch(
                 running = running & (obj > 1e-9)
             if not running.any() or report[2].max() >= cfg.max_iterations:
                 break
+            if not hi and report[3].max() > 0:
+                # Scan-noise freezes appeared: the rest of this phase runs
+                # polish chunks (exact pricing) for everyone still running.
+                hi = True
         # The returned state is always freshly refactorized (basis-exact
         # xB/pi/obj), which downstream feasibility tests and extraction use.
         return batch
@@ -277,7 +311,15 @@ def solve_batch(
         residual = np.asarray(residual)
         # Dual feasibility of the shared basis per scenario (c is per-LP in
         # the general lowering, so check all B reduced-cost vectors).
-        d = np.asarray(c2 - jnp.einsum("bm,bmn->bn", wb.pi, A))
+        # HIGHEST: the batched einsum is single-pass bf16 by default on
+        # accelerators; its ~2.6e-3 noise would fail the opt_tol check and
+        # silently disengage every warm restart.
+        d = np.asarray(
+            c2
+            - jnp.einsum(
+                "bm,bmn->bn", wb.pi, A, precision=jax.lax.Precision.HIGHEST
+            )
+        )
         nonbasic = np.asarray(cand) & ~np.asarray(wb.in_basis)
         dmin = np.where(nonbasic, d, 0.0).min(axis=1)
         if not (
@@ -296,6 +338,7 @@ def solve_batch(
                 opt_tol=cfg.opt_tol,
                 pivot_tol=cfg.pivot_tol,
                 feas_tol=cfg.feas_tol,
+                noisy_scan=noisy_backend,
             )
             if not (np.asarray(wb.status) == RUNNING).any():
                 break
@@ -367,6 +410,9 @@ def solve_batch(
     xB_all = np.asarray(batch.xB)
     iters = np.asarray(batch.iteration)
     n_fallback = 0
+    import os as _os
+
+    _debug_gates = _os.environ.get("RELP_TPU_BATCH_DEBUG", "")
     for k, (provider, problem) in enumerate(zip(providers, problems)):
         stats = SolveStats(
             iterations=int(iters[k]),
@@ -390,6 +436,15 @@ def solve_batch(
             or abs(xB_all[k, i]) <= 1e-6
             for i in range(problem.m_real)
         )
+        if _debug_gates:
+            print(
+                f"  batch-debug LP{k}: status={int(status[k])} "
+                f"feasible={bool(feasible[k])} iters={int(iters[k])} "
+                f"residual={float(final_residual[k]):.3e} "
+                f"xBmin={float(xB_all[k, : problem.m_real].min()):.3e} "
+                f"artificial_ok={artificial_ok}",
+                flush=True,
+            )
         if not ok or not numerics_ok or not artificial_ok:
             results.append(_single_lp_fallback(provider, cfg, certify))
             n_fallback += 1

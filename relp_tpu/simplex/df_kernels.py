@@ -87,8 +87,21 @@ class DfSimplexState(NamedTuple):
     d: jax.Array
 
 
-def make_df_iteration(pricing: int, opt_tol, pivot_tol, degen_tol):
-    """One fused df32 simplex iteration (see kernels.make_iteration)."""
+def make_df_iteration(
+    pricing: int, opt_tol, pivot_tol, degen_tol,
+    noisy_scan: bool = False, hi_scan: bool = False,
+):
+    """One fused df32 simplex iteration (see kernels.make_iteration).
+
+    ``noisy_scan``/``hi_scan`` follow kernels.make_iteration: on
+    accelerators the f32 scans are single-pass bf16 (noise floor scaled
+    accordingly, chunk-entry iteration exempt — its d comes from a clean
+    matvec refresh); hi_scan is the polish mode (HIGHEST-precision scans).
+    """
+    from relp_tpu.simplex.kernels import _HI, _NOISY_F32_EPS
+
+    scan_precision = _HI if hi_scan else None
+    noisy = noisy_scan and not hi_scan
 
     def iteration(state, A_scan, Ah, Al, ch, cl, c_scan, candidate_mask):
         M, N = A_scan.shape
@@ -96,8 +109,14 @@ def make_df_iteration(pricing: int, opt_tol, pivot_tol, degen_tol):
         # --- pricing on the f32 scan copy; eligibility guarded against scan
         # noise exactly like the mixed-precision path ---
         d = state.d
-        noise = jnp.finfo(jnp.float32).eps * 8.0
+        noise = _NOISY_F32_EPS if noisy else float(jnp.finfo(jnp.float32).eps) * 8.0
         threshold = opt_tol + noise * (1.0 + jnp.max(jnp.abs(state.pi)))
+        if noisy:
+            # Chunk-entry d comes from an exact matvec refresh: price it
+            # with the plain floor so sub-noise candidates still pivot.
+            threshold = jnp.where(
+                state.inner == 0, jnp.asarray(opt_tol, jnp.float32), threshold
+            )
         eligible = candidate_mask & (~state.in_basis) & (d < -threshold)
         q, any_eligible = _select_entering(
             d, state.gamma, eligible, pricing, N, start=state.price_start
@@ -167,7 +186,7 @@ def make_df_iteration(pricing: int, opt_tol, pivot_tol, degen_tol):
             gamma_q_val = 1.0 + wh @ wh
             v = wh @ state.Binv  # work vector, OLD inverse (f32)
             P = jnp.stack([pih_new, v, beta_h])
-            S = P @ A_scan
+            S = jnp.matmul(P, A_scan, precision=scan_precision)
             d_next = c_scan - S[0]
             inner = S[1]
             abar = S[2]
@@ -181,7 +200,9 @@ def make_df_iteration(pricing: int, opt_tol, pivot_tol, degen_tol):
             gamma_new = gamma_new.at[q].set(1.0)
         else:
             gamma_new = state.gamma
-            d_next = c_scan - pih_new @ A_scan
+            d_next = c_scan - jnp.matmul(
+                pih_new, A_scan, precision=scan_precision
+            )
 
         degenerate = th <= degen_tol
         degen_new = jnp.where(degenerate, state.degen_count + 1, 0).astype(
@@ -216,6 +237,7 @@ def make_df_iteration(pricing: int, opt_tol, pivot_tol, degen_tol):
     jax.jit,
     static_argnames=(
         "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero",
+        "noisy_scan", "hi_scan",
     ),
 )
 def df_run_chunk(
@@ -233,9 +255,14 @@ def df_run_chunk(
     pivot_tol: float,
     degen_tol: float,
     stop_at_zero: bool = False,
+    noisy_scan: bool = False,
+    hi_scan: bool = False,
 ) -> DfSimplexState:
     """Run up to ``chunk`` df32 pivots on device without host round-trips."""
-    iteration = make_df_iteration(pricing, opt_tol, pivot_tol, degen_tol)
+    iteration = make_df_iteration(
+        pricing, opt_tol, pivot_tol, degen_tol,
+        noisy_scan=noisy_scan, hi_scan=hi_scan,
+    )
     c_scan = ch
     state = state._replace(
         inner=jnp.zeros((), jnp.int32),

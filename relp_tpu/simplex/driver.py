@@ -116,6 +116,15 @@ def _run_phase(
 
     pricing = _PRICING_CODES[cfg.pricing]
     mixed = A_scan is not A_full
+    # Accelerator f32 scans are single-pass bf16 (see kernels.noisy_f32_matmul):
+    # an in-chunk OPTIMAL may be a scan-noise freeze, so it is only final when
+    # reached with zero pivots in its chunk — i.e. decided by the clean
+    # (HIGHEST-precision) chunk-entry reduced costs.
+    noisy = (
+        not mixed
+        and kernels.noisy_f32_matmul()
+        and getattr(A_scan, "dtype", None) == jnp.float32
+    )
     if pricing == PRICE_STEEPEST:
         state = engine.recompute_gamma(state, A_scan)
 
@@ -142,9 +151,12 @@ def _run_phase(
     for _ in range(max_chunks):
         mode = PRICE_BLAND if bland_mode else pricing
         scan = A_full if polishing else A_scan
+        it_before = int(state.iteration)
         state = engine.run_chunk(
             state, scan, A_full, c, candidate_mask, mode, cfg,
             stop_at_zero=stop_at_zero,
+            # Noisy-backend polish: same array, HIGHEST-precision scans.
+            hi_scan=polishing and noisy,
         )
         stats.chunks += 1
         status = int(state.status)
@@ -198,6 +210,28 @@ def _run_phase(
             if pricing == PRICE_STEEPEST:
                 state = engine.recompute_gamma(state, A_full)
             state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
+            continue
+        if (
+            status == OPTIMAL
+            and noisy
+            and not polishing
+            and int(state.iteration) > it_before
+        ):
+            # Scan-noise freeze mid-chunk (the fast-path in-loop reduced
+            # costs are single-pass bf16 on accelerators): switch to polish
+            # chunks — same scan array at HIGHEST precision, i.e. exact
+            # pricing — for the optimality tail.  An OPTIMAL reached with
+            # zero pivots was decided by the clean chunk-entry d and is
+            # accepted below without polish.
+            polishing = True
+            state, residual = engine.refactor(state, A_full, b, c, cfg, stats)
+            if not np.isfinite(residual) or residual > 1e-4:
+                state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
+                break
+            if pricing == PRICE_STEEPEST:
+                state = engine.recompute_gamma(state, scan)
+            state = state._replace(status=jnp.asarray(RUNNING, jnp.int32))
+            last_obj = None
             continue
         if status != RUNNING:
             # In Bland mode, verify optimality under the configured rule too

@@ -103,13 +103,17 @@ class DenseEngine:
 
     def run_chunk(
         self, state, A_scan, A_full, c, candidate_mask, mode, cfg,
-        stop_at_zero=False,
+        stop_at_zero=False, hi_scan=False,
     ):
         import jax
 
         # The Pallas scan kernel needs lane-aligned tiles; fall back to the
         # XLA path for odd shapes.  Interpret mode keeps CPU tests honest.
-        pallas = bool(cfg.pallas_scan) and A_scan.shape[1] % 128 == 0
+        # hi_scan (the noisy-backend polish mode) needs HIGHEST-precision
+        # scans, which the Pallas scan kernel does not implement.
+        pallas = (
+            bool(cfg.pallas_scan) and A_scan.shape[1] % 128 == 0 and not hi_scan
+        )
         return kernels.run_chunk(
             state,
             A_scan,
@@ -124,6 +128,11 @@ class DenseEngine:
             stop_at_zero=stop_at_zero,
             pallas_scan=pallas,
             pallas_interpret=pallas and jax.default_backend() == "cpu",
+            # Static jit arg: must be resolved OUTSIDE the jitted function
+            # (a trace-time read would freeze the first call's value into
+            # the shared jit cache).
+            noisy_scan=kernels.noisy_f32_matmul(),
+            hi_scan=hi_scan,
         )
 
     def dual_run_chunk(self, state, A_scan, A_full, c, candidate_mask, cfg):
@@ -140,6 +149,7 @@ class DenseEngine:
             opt_tol=cfg.opt_tol,
             pivot_tol=cfg.pivot_tol,
             feas_tol=cfg.feas_tol,
+            noisy_scan=kernels.noisy_f32_matmul(),
         )
 
     def recompute_gamma(self, state, A_scan):
@@ -218,8 +228,11 @@ class LUEngine:
 
     def run_chunk(
         self, state, A_scan, A_full, c, candidate_mask, mode, cfg,
-        stop_at_zero=False,
+        stop_at_zero=False, hi_scan=False,
     ):
+        # hi_scan is accepted for driver uniformity; the LU iteration
+        # recomputes d per pivot via an exact (M,)@(M,N) matvec, so its
+        # pricing is already clean on accelerators.
         return lu_mod.lu_run_chunk(
             state,
             A_scan,
@@ -366,7 +379,7 @@ class DoubleFloatEngine:
 
     def run_chunk(
         self, state, A_scan, A_full, c, candidate_mask, mode, cfg,
-        stop_at_zero=False,
+        stop_at_zero=False, hi_scan=False,
     ):
         from relp_tpu.simplex.df_kernels import df_run_chunk
 
@@ -383,6 +396,8 @@ class DoubleFloatEngine:
             opt_tol=cfg.opt_tol,
             pivot_tol=cfg.pivot_tol,
             degen_tol=cfg.feas_tol,
+            noisy_scan=kernels.noisy_f32_matmul(),
+            hi_scan=hi_scan,
             stop_at_zero=stop_at_zero,
         )
 

@@ -47,6 +47,28 @@ PRICE_BLAND = 2  # first-profitable entering + lowest-index leaving
 PRICE_FIRST = 3  # first profitable (reference: FirstProfitable)
 PRICE_FIRST_MEMORY = 4  # round-robin resume (reference: FirstProfitableWithMemory)
 
+# Accelerator f32 matmuls are SINGLE-PASS bf16 by default (measured ~2.6e-3
+# max relative error on v5e for both the batched einsum and the stacked
+# (3,M)@(M,N) scan — scripts/probe_batched_precision.py), so "same-precision"
+# f32 scans still carry bf16-grade noise there: phantom negative reduced
+# costs above opt_tol that keep pricing from ever declaring OPTIMAL.  On
+# such backends the iteration treats the scan like a low-precision one
+# (noise-scaled eligibility floor + working-precision recheck of the picked
+# column) and the drivers re-verify OPTIMAL at a clean chunk boundary.
+_NOISY_F32_EPS = 4e-3  # single-pass-bf16 error bound (measured 2.6e-3 + margin)
+
+# State-carrying products (FTRAN, refactorization, residual measurement)
+# run at HIGHEST precision: multi-pass true f32 on the MXU.  Wide pricing /
+# Goldfarb scans deliberately stay on the fast single-pass path — noise
+# there only affects pivot choice, which the guards above absorb.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def noisy_f32_matmul() -> bool:
+    """True when the default backend's f32 matmuls are single-pass bf16
+    (any accelerator; CPU matmuls are true IEEE f32)."""
+    return jax.default_backend() != "cpu"
+
 
 def _select_entering(d, gamma, eligible, pricing: int, N: int, start=None):
     """Entering-column choice; returns (q, any_eligible).
@@ -117,6 +139,8 @@ def make_iteration(
     degen_tol: float,
     pallas_scan: bool = False,
     pallas_interpret: bool = False,
+    noisy_scan: bool = False,
+    hi_scan: bool = False,
 ):
     """Build one fused simplex iteration.
 
@@ -126,24 +150,55 @@ def make_iteration(
     VPU/MXU paths); ``A_full`` is the working-precision copy used for the
     FTRAN gather.  Mixed-precision termination is polished by full-precision
     chunks in the driver and ultimately by the exact certifier.
+
+    ``hi_scan`` runs the wide pricing/Goldfarb scans at HIGHEST precision
+    (multi-pass true f32) — the polish mode for noisy backends: 3-6x the
+    scan cost but exact pricing, so the optimality tail (candidates below
+    the fast path's noise floor) terminates instead of thrashing at one
+    pivot per clean chunk entry.
     """
 
     def iteration(state: SimplexState, A_scan, A_full, c, c_scan, candidate_mask) -> SimplexState:
         M, N = A_scan.shape
         scan_dtype = A_scan.dtype
         low_precision_scan = scan_dtype != A_full.dtype
+        # "Same-precision" f32 scans are still bf16-noisy on accelerators
+        # (single-pass MXU matmuls; see noisy_f32_matmul) — treat them like
+        # low-precision scans: noise-scaled floor + recheck of the pick.
+        # hi_scan mode computes the scans at HIGHEST, so they are exact.
+        noisy = (
+            noisy_scan
+            and not hi_scan
+            and not low_precision_scan
+            and scan_dtype == jnp.float32
+        )
+        guarded = low_precision_scan or noisy
+        scan_precision = _HI if hi_scan else None
 
         # --- pricing (reduced costs carried in the state; refreshed per
         # chunk and updated by the fused post-pivot scan below) ---
         d = state.d
-        if low_precision_scan:
-            # Low-precision reduced costs carry noise ~eps * |pi| * |a|; an
-            # absolute 1e-9 threshold would fabricate candidates forever on
+        if guarded:
+            # Noisy reduced costs carry error ~eps * |pi| * |a|; an absolute
+            # 1e-9 threshold would fabricate candidates forever on
             # large-scale problems.  Scale the eligibility floor by |pi|.
-            noise = jnp.finfo(scan_dtype).eps * 8.0
+            noise = (
+                _NOISY_F32_EPS if noisy else float(jnp.finfo(scan_dtype).eps) * 8.0
+            )
             threshold = opt_tol + noise * (1.0 + jnp.max(jnp.abs(state.pi))).astype(
                 scan_dtype
             )
+            if noisy:
+                # The chunk-entry refresh ran at HIGHEST precision (true
+                # f32), so the first iteration of a chunk prices exactly:
+                # it is the arbiter that makes "OPTIMAL with zero pivots
+                # this chunk" a clean verdict, and guarantees any candidate
+                # below -opt_tol gets pivoted at least once per chunk (the
+                # scaled floor would otherwise hide small-|d| candidates
+                # forever).  Only the in-loop d (fast-path scan) is noisy.
+                threshold = jnp.where(
+                    state.inner == 0, jnp.asarray(opt_tol, scan_dtype), threshold
+                )
         else:
             threshold = jnp.asarray(opt_tol, scan_dtype)
         eligible = candidate_mask & (~state.in_basis) & (d < -threshold)
@@ -153,16 +208,19 @@ def make_iteration(
         )
         q = q.astype(jnp.int32)
 
-        # --- FTRAN (working precision) ---
+        # --- FTRAN (working precision; HIGHEST so the vmapped batched form
+        # — a (B,M,M)x(B,M) matmul on accelerators — stays true f32: w feeds
+        # the carried inverse/xB, where single-pass bf16 noise compounds
+        # per pivot) ---
         a_q = A_full[:, q]
-        w = state.Binv @ a_q
+        w = jnp.matmul(state.Binv, a_q, precision=_HI)
 
         # Recheck the selected column's reduced cost at working precision;
         # a scan-noise candidate means the scan found nothing real, so the
         # chunk reports OPTIMAL and the driver's full-precision polish pass
         # decides true optimality.
-        d_q_full = c[q] - state.pi @ a_q
-        if low_precision_scan:
+        d_q_full = c[q] - jnp.matmul(state.pi, a_q, precision=_HI)
+        if guarded:
             # Scan noise cannot fabricate candidates; when the scan already
             # runs at working precision the recheck would only disagree by
             # reduction order and could mask other eligible columns.
@@ -224,7 +282,7 @@ def make_iteration(
                 )
                 abar = None
             else:
-                S = P @ A_scan
+                S = jnp.matmul(P, A_scan, precision=scan_precision)
                 d_next = c_scan - S[0]
                 inner = S[1]
                 abar = S[2]  # pivot row of the updated tableau
@@ -239,7 +297,9 @@ def make_iteration(
             gamma_new = gamma_new.astype(state.gamma.dtype)
         else:
             gamma_new = state.gamma
-            d_next = c_scan - pi_new.astype(scan_dtype) @ A_scan
+            d_next = c_scan - jnp.matmul(
+                pi_new.astype(scan_dtype), A_scan, precision=scan_precision
+            )
 
         degenerate = t <= degen_tol
         degen_new = jnp.where(degenerate, state.degen_count + 1, 0).astype(jnp.int32)
@@ -268,7 +328,7 @@ def make_iteration(
     jax.jit,
     static_argnames=(
         "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol", "stop_at_zero",
-        "pallas_scan", "pallas_interpret",
+        "pallas_scan", "pallas_interpret", "noisy_scan", "hi_scan",
     ),
 )
 def run_chunk(
@@ -286,6 +346,8 @@ def run_chunk(
     stop_at_zero: bool = False,
     pallas_scan: bool = False,
     pallas_interpret: bool = False,
+    noisy_scan: bool = False,
+    hi_scan: bool = False,
 ) -> SimplexState:
     """Run up to ``chunk`` pivots on device without host round-trips.
 
@@ -298,13 +360,18 @@ def run_chunk(
     iteration = make_iteration(
         pricing, opt_tol, pivot_tol, degen_tol,
         pallas_scan=pallas_scan, pallas_interpret=pallas_interpret,
+        noisy_scan=noisy_scan, hi_scan=hi_scan,
     )
     c_scan = c.astype(A_scan.dtype)
     # Refresh the carried reduced costs at chunk entry: pi may have changed
     # outside the loop (refactorization, phase switch, polish scan switch).
+    # HIGHEST: under vmap this row-vector product becomes a batched matmul,
+    # which would otherwise be single-pass bf16 on accelerators — a noisy
+    # chunk-entry d would fabricate candidates and block OPTIMAL forever.
     state = state._replace(
         inner=jnp.zeros((), jnp.int32),
-        d=c_scan - state.pi.astype(A_scan.dtype) @ A_scan,
+        d=c_scan
+        - jnp.matmul(state.pi.astype(A_scan.dtype), A_scan, precision=_HI),
     )
 
     def cond(s: SimplexState):
@@ -319,7 +386,9 @@ def run_chunk(
     return jax.lax.while_loop(cond, body, state)
 
 
-def make_dual_iteration(opt_tol: float, pivot_tol: float, feas_tol: float):
+def make_dual_iteration(
+    opt_tol: float, pivot_tol: float, feas_tol: float, noisy_scan: bool = False
+):
     """One fused *dual* simplex iteration (new capability — the reference
     has no dual simplex; its warm-start story is IM::from_basis,
     carry/mod.rs:444-478, which requires primal feasibility).
@@ -348,8 +417,18 @@ def make_dual_iteration(opt_tol: float, pivot_tol: float, feas_tol: float):
         rho = state.Binv[r]
         alpha = rho.astype(scan_dtype) @ A_scan
         d = state.d
+        if noisy_scan and scan_dtype == jnp.float32:
+            # Accelerator fast-path scan: alpha carries ~bf16 noise scaled
+            # by |rho| |a_j|; keep phantom entries out of the eligibility
+            # set, else the pick fails the working-precision pivot gate
+            # below and the LP freezes as SINGULAR.
+            alpha_floor = pivot_tol + _NOISY_F32_EPS * (
+                1.0 + jnp.max(jnp.abs(rho))
+            ).astype(scan_dtype)
+        else:
+            alpha_floor = jnp.asarray(pivot_tol, scan_dtype)
         eligible = (
-            candidate_mask & (~state.in_basis) & (alpha < -pivot_tol)
+            candidate_mask & (~state.in_basis) & (alpha < -alpha_floor)
         )
         any_eligible = jnp.any(eligible)
 
@@ -362,9 +441,10 @@ def make_dual_iteration(opt_tol: float, pivot_tol: float, feas_tol: float):
         near = eligible & (ratio <= tmin + 1e-7 * (1.0 + jnp.abs(tmin)))
         q = jnp.argmax(jnp.where(near, -alpha, -big)).astype(jnp.int32)
 
-        # --- FTRAN at working precision ---
+        # --- FTRAN at working precision (HIGHEST: the vmapped batched form
+        # is a matmul, single-pass bf16 by default on accelerators) ---
         a_q = A_full[:, q]
-        w = state.Binv @ a_q
+        w = jnp.matmul(state.Binv, a_q, precision=_HI)
         w_r = w[r]
         pivot_ok = w_r < -jnp.asarray(pivot_tol, w.dtype)
 
@@ -391,7 +471,7 @@ def make_dual_iteration(opt_tol: float, pivot_tol: float, feas_tol: float):
 
         # Dual price update: theta_dual = d_q / (-alpha_q) >= 0;
         # d' = d + theta_dual * alpha, d'_q = 0, d'_leaving = theta_dual.
-        d_q_full = c[q] - state.pi @ a_q
+        d_q_full = c[q] - jnp.matmul(state.pi, a_q, precision=_HI)
         theta = d_q_full / (-safe_w_r)
         pi_new = state.pi - theta * state.Binv[r]
         d_next = d + theta.astype(scan_dtype) * alpha
@@ -421,7 +501,7 @@ def make_dual_iteration(opt_tol: float, pivot_tol: float, feas_tol: float):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("chunk", "opt_tol", "pivot_tol", "feas_tol"),
+    static_argnames=("chunk", "opt_tol", "pivot_tol", "feas_tol", "noisy_scan"),
 )
 def dual_run_chunk(
     state: SimplexState,
@@ -434,13 +514,17 @@ def dual_run_chunk(
     opt_tol: float,
     pivot_tol: float,
     feas_tol: float,
+    noisy_scan: bool = False,
 ) -> SimplexState:
     """Run up to ``chunk`` dual pivots on device without host round-trips."""
-    iteration = make_dual_iteration(opt_tol, pivot_tol, feas_tol)
+    iteration = make_dual_iteration(
+        opt_tol, pivot_tol, feas_tol, noisy_scan=noisy_scan
+    )
     c_scan = c.astype(A_scan.dtype)
     state = state._replace(
         inner=jnp.zeros((), jnp.int32),
-        d=c_scan - state.pi.astype(A_scan.dtype) @ A_scan,
+        d=c_scan
+        - jnp.matmul(state.pi.astype(A_scan.dtype), A_scan, precision=_HI),
     )
 
     def cond(s: SimplexState):
@@ -450,6 +534,14 @@ def dual_run_chunk(
         return iteration(s, A_scan, A_full, c, c_scan, candidate_mask)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+# Refactorization / refresh matmuls run at HIGHEST precision (_HI): TPU f32
+# matmuls default to SINGLE-PASS bf16 inputs (~2e-3 relative — measured on
+# v5e, scripts/probe_dot_precision.py), which caps Newton-Schulz at bf16
+# accuracy and makes the drift-repair residual a lie (it then trips the
+# >1e-4 breakdown gates on perfectly good bases).  These run once per chunk
+# (amortized over ~150 pivots), so the multi-pass cost is noise.
 
 
 @functools.partial(jax.jit, static_argnames=("newton_steps",))
@@ -468,11 +560,14 @@ def refactorize(A, b, c, basis, *, newton_steps: int = 3):
     X = jnp.linalg.inv(B.astype(jnp.float32)).astype(A.dtype)
     eye = jnp.eye(M, dtype=A.dtype)
     for _ in range(newton_steps):
-        X = X @ (2.0 * eye - B @ X)
-    residual = jnp.max(jnp.abs(B @ X - eye))
-    xB = X @ b
+        X = jnp.matmul(X, 2.0 * eye - jnp.matmul(B, X, precision=_HI), precision=_HI)
+    residual = jnp.max(jnp.abs(jnp.matmul(B, X, precision=_HI) - eye))
+    # xB/pi are the basis-exact values feasibility gates and extraction
+    # trust; under vmap these matvecs become batched matmuls (single-pass
+    # bf16 on accelerators by default).
+    xB = jnp.matmul(X, b, precision=_HI)
     cB = c[basis]
-    pi = cB @ X
+    pi = jnp.matmul(cB, X, precision=_HI)
     obj = cB @ xB
     return X, xB, pi, obj, residual
 
@@ -497,11 +592,11 @@ def newton_refresh(Binv, A, b, c, basis, *, steps: int = 2):
     eye = jnp.eye(M, dtype=A.dtype)
     X = Binv
     for _ in range(steps):
-        X = X @ (2.0 * eye - B @ X)
-    residual = jnp.max(jnp.abs(B @ X - eye))
-    xB = X @ b
+        X = jnp.matmul(X, 2.0 * eye - jnp.matmul(B, X, precision=_HI), precision=_HI)
+    residual = jnp.max(jnp.abs(jnp.matmul(B, X, precision=_HI) - eye))
+    xB = jnp.matmul(X, b, precision=_HI)
     cB = c[basis]
-    pi = cB @ X
+    pi = jnp.matmul(cB, X, precision=_HI)
     obj = cB @ xB
     return X, xB, pi, obj, residual
 
