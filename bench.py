@@ -27,17 +27,26 @@ import numpy as np
 
 RELP_PROXY_ITERS_PER_S = 1000.0
 
+# Per-PROCESS entropy folded into every timed dispatch: the axon tunnel's
+# dispatch cache is keyed on (program, inputs) and persists ACROSS processes,
+# so a fully deterministic bench re-run gets served entirely from cache and
+# reports impossible numbers (measured: 327k "iter/s" on a re-run whose
+# physical HBM-stream bound is ~50k).  A random sub-tolerance scale keeps
+# every process's input buffers unique while leaving the pivot walk intact.
+_ENTROPY = float(np.random.default_rng().uniform(0.5, 1.5))
+
 
 def _perturb(state0, rep):
-    """A per-rep distinct input state.
+    """A per-rep, per-process distinct input state.
 
-    No two timed dispatches may be identical: the axon tunnel can serve
-    repeated identical dispatches from a cache (CLAUDE.md gotcha (a)), which
-    would make min-of-reps time a cache serve instead of device compute.
-    A tiny positive shift of the basic values keeps the pivot walk intact
-    while making every dispatch's input buffer unique.
+    No two timed dispatches may be identical — within a run or across runs:
+    the axon tunnel can serve repeated identical dispatches from a cache
+    (CLAUDE.md gotcha (a)), which would make the timed value a cache serve
+    instead of device compute.  A tiny positive shift of the basic values
+    keeps the pivot walk intact while making every dispatch's input buffer
+    unique.
     """
-    return state0._replace(xB=state0.xB + (1e-9 * (rep + 1)))
+    return state0._replace(xB=state0.xB + (_ENTROPY * 1e-9 * (rep + 1)))
 
 
 def _measure(kernels, state0, A_scan, A_full, c, cand, pricing, chunks=(10, 300)):
@@ -189,7 +198,7 @@ def main():
     cand_b = jnp.asarray(np.stack(cands))
 
     def run_batch_xla(chunk, rep):
-        st = batch._replace(xB=batch.xB + (1e-9 * (rep + 1)))
+        st = batch._replace(xB=batch.xB + (_ENTROPY * 1e-9 * (rep + 1)))
         t0 = time.time()
         out = batched_run_chunk(
             st,
@@ -207,7 +216,7 @@ def main():
         return time.time() - t0, total
 
     def run_batch_mega(chunk, rep):
-        st = batch._replace(xB=batch.xB + (1e-9 * (rep + 1)))
+        st = batch._replace(xB=batch.xB + (_ENTROPY * 1e-9 * (rep + 1)))
         t0 = time.time()
         out = megakernel_run_chunk(
             st,

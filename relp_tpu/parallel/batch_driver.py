@@ -16,6 +16,7 @@ driver, which has the full rank-repair machinery.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 import time
 from typing import List, Optional, Sequence
 
@@ -309,24 +310,44 @@ def solve_batch(
         )
         wb, residual = refactor(wb, c2)
         residual = np.asarray(residual)
-        # Dual feasibility of the shared basis per scenario (c is per-LP in
-        # the general lowering, so check all B reduced-cost vectors).
-        # HIGHEST: the batched einsum is single-pass bf16 by default on
-        # accelerators; its ~2.6e-3 noise would fail the opt_tol check and
-        # silently disengage every warm restart.
-        d = np.asarray(
-            c2
-            - jnp.einsum(
-                "bm,bmn->bn", wb.pi, A, precision=jax.lax.Precision.HIGHEST
-            )
-        )
+        # Dual feasibility of the shared basis per scenario, checked on the
+        # host in f64 (driver.warm_dual_feasible): reduced costs recomputed
+        # from the refactored f32 state carry ~eps_f32*|pi| noise, which
+        # silently disengaged every netlib-scale warm restart.  c is per-LP
+        # in the general lowering, so check all B reduced-cost vectors
+        # (reusing the shared-A factorization when providers share A).
+        from relp_tpu.simplex.driver import warm_dual_feasible
+
         nonbasic = np.asarray(cand) & ~np.asarray(wb.in_basis)
-        dmin = np.where(nonbasic, d, 0.0).min(axis=1)
+        c2_np = np.asarray(c2)
+        dual_ok = True
+        dmin_all = 0.0
+        for k in range(Bsz):
+            if k > 0 and problems[k].A is problems[0].A and np.array_equal(
+                c2_np[k], c2_np[0]
+            ):
+                continue  # identical LP data: same verdict as LP 0
+            ok_k, dmin_k, _ = warm_dual_feasible(
+                problems[k].A, c2_np[k], warm_full, nonbasic[k], cfg.opt_tol
+            )
+            dmin_all = min(dmin_all, dmin_k)
+            if not ok_k:
+                dual_ok = False
+                break
+        # 1e-4 is the same breakdown threshold every chunk loop uses; a
+        # 1e-6 residual gate rejects healthy f32 refactorizations at m>=128.
         if not (
             np.isfinite(residual).all()
-            and (residual < 1e-6).all()
-            and (dmin >= -cfg.opt_tol).all()
+            and (residual < 1e-4).all()
+            and dual_ok
         ):
+            if _os.environ.get("RELP_TPU_BATCH_DEBUG", ""):
+                print(
+                    "  batch-debug warm disengaged: "
+                    f"residual_max={float(np.nanmax(residual)):.3e} "
+                    f"dmin_min={dmin_all:.3e} (opt_tol={cfg.opt_tol:g})",
+                    flush=True,
+                )
             return batch, None
         max_chunks = min(
             max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2, 60
@@ -410,8 +431,6 @@ def solve_batch(
     xB_all = np.asarray(batch.xB)
     iters = np.asarray(batch.iteration)
     n_fallback = 0
-    import os as _os
-
     _debug_gates = _os.environ.get("RELP_TPU_BATCH_DEBUG", "")
     for k, (provider, problem) in enumerate(zip(providers, problems)):
         stats = SolveStats(

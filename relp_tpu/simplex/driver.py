@@ -489,6 +489,39 @@ def solve_relaxation(
     return result
 
 
+def warm_dual_feasible(A, c, basis_full, nonbasic_mask, opt_tol):
+    """Host f64 dual-feasibility check for warm-start engagement.
+
+    The device state is f32: reduced costs recomputed from a refactored f32
+    ``pi`` carry ~``eps_f32 * |pi| * |a|`` noise (measured -4.9e-4 on
+    ADLITTLE for an exactly-optimal basis), which silently disengaged every
+    netlib-scale warm restart at ``opt_tol``.  Solve ``Bᵀπ = c_B`` in f64 on
+    the host instead, and tolerate *data-quantization*-scale negatives: a
+    basis exactly optimal for the rational LP has d ≥ 0 exactly, but the
+    f32-lowered copy rounds its data by eps_f32 relative, so genuine
+    reduced costs can round to ~``eps_f32 * |pi|`` below zero.  The check
+    is advisory — every verdict is re-derived by the primal loop and exact
+    certification — so disengaging on quantization noise is pure waste.
+
+    Returns (dual_feasible, dmin, tol).
+    """
+    A64 = np.asarray(A, dtype=np.float64)
+    c64 = np.asarray(c, dtype=np.float64)
+    B64 = A64[:, basis_full]
+    try:
+        pi64 = np.linalg.solve(B64.T, c64[basis_full])
+    except np.linalg.LinAlgError:
+        return False, -np.inf, float(opt_tol)
+    d = c64 - pi64 @ A64
+    tol = max(
+        float(opt_tol),
+        32.0 * float(np.finfo(np.float32).eps) * (1.0 + float(np.abs(pi64).max())),
+    )
+    masked = d[nonbasic_mask]
+    dmin = float(masked.min()) if masked.size else 0.0
+    return dmin >= -tol, dmin, tol
+
+
 def _f64_is_emulated() -> bool:
     """True on backends where f64 matmuls are emulated (TPU: ~40x slower),
     making the double-float carry the cheaper escalation rung.  On CPU
@@ -553,7 +586,9 @@ def _solve_relaxation_once(
         state = engine.init_state(problem, cfg)
         state, residual = engine.refactor(state, A, b, c2, cfg, stats)
         xB = np.asarray(state.xB)
-        basis_ok = np.isfinite(residual) and residual < 1e-6
+        # 1e-4 is the same breakdown threshold every chunk loop uses; the
+        # old 1e-6 gate rejected healthy f32 refactorizations at m>=128.
+        basis_ok = np.isfinite(residual) and residual < 1e-4
         if basis_ok and float(xB.min()) > -1e-7:
             warm_started = True
         elif (
@@ -567,11 +602,12 @@ def _solve_relaxation_once(
             # feasible, dual pivots restore primal feasibility in a few
             # steps with no phase 1.  Beyond reference scope: its warm
             # start (carry/mod.rs:444-478) requires primal feasibility.
-            d = np.asarray(c2 - state.pi @ A, dtype=np.float64)
             nonbasic = np.asarray(problem.candidate_mask) & ~np.asarray(
                 state.in_basis
             )
-            dual_feasible = not np.any(d[nonbasic] < -cfg.opt_tol)
+            dual_feasible, _, _ = warm_dual_feasible(
+                A, c2, np.asarray(state.basis), nonbasic, cfg.opt_tol
+            )
             restored = False
             if dual_feasible:
                 state = _run_dual_phase(

@@ -26,6 +26,10 @@ def main():
                         help="exactly certify this many scenarios (host cost)")
     parser.add_argument("--megakernel", action="store_true",
                         help="use the fused Pallas batched-pivot megakernel")
+    parser.add_argument("--warm", action="store_true",
+                        help="solve the unperturbed base once, then dual-"
+                             "warm-restart every scenario from its optimal "
+                             "basis (skips both phases)")
     args = parser.parse_args()
 
     import jax
@@ -60,8 +64,23 @@ def main():
         pad_to=128, chunk_size=150, refactor_period=150,
         pallas_batch=args.megakernel,
     )
+    warm_basis = None
+    if args.warm:
+        from relp_tpu.simplex import solve_relaxation
+
+        t0 = time.time()
+        base_result = solve_relaxation(base.derive_matrix_data(counts), cfg)
+        print(
+            f"base solve: {base_result.status.name.lower()} in "
+            f"{time.time()-t0:.1f}s ({base_result.stats.iterations} pivots)",
+            flush=True,
+        )
+        warm_basis = base_result.basis
     t0 = time.time()
-    results = solve_batch(providers, cfg, certify=False, shared_structure=True)
+    results = solve_batch(
+        providers, cfg, certify=False, shared_structure=True,
+        warm_start_basis=warm_basis,
+    )
     solve_s = time.time() - t0
 
     optimal = sum(r.status is SolveStatus.FINITE_OPTIMUM for r in results)
@@ -70,6 +89,13 @@ def main():
     # the single-LP driver.
     fallbacks = sum(r.stats.chunks > 0 for r in results)
     total_pivots = sum(r.stats.iterations for r in results)
+    if args.warm:
+        dual_pivots = sum(r.stats.dual_iterations for r in results)
+        print(
+            f"warm restarts: {dual_pivots} dual pivots across the batch "
+            f"(phase 1 skipped)",
+            flush=True,
+        )
     print(
         f"batch={args.batch}: {optimal} optimal, {infeasible} infeasible, "
         f"{args.batch - optimal - infeasible} other, {fallbacks} fallbacks",

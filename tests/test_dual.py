@@ -221,3 +221,45 @@ def test_dual_restart_netlib_scale():
     assert warm.stats.certified and cold.stats.certified
     assert warm.exact_objective == cold.exact_objective
     assert warm.stats.phase1_iterations == 0
+
+
+def test_batched_warm_restart_engages_beyond_toy_scale():
+    """ADLITTLE scenarios warm-started from the base optimum: the dual
+    restart must ENGAGE (regression: the engagement gate recomputed reduced
+    costs from the refactored f32 state, whose ~eps_f32*|pi| noise read as
+    dual infeasibility at opt_tol and silently disengaged every
+    netlib-scale warm restart) and beat the cold pivot count."""
+    from tests.conftest import reference_problem
+    from relp_tpu.io import mps_to_general_form, parse_fixed
+    from relp_tpu.parallel.batch_driver import solve_batch
+
+    path = reference_problem("netlib", "ADLITTLE.SIF")
+    with open(path) as f:
+        gf = mps_to_general_form(parse_fixed(f.read()))
+    gf.presolve()
+    counts = gf.standardize()
+    cfg = _cfg(pad_to=128, chunk_size=150, refactor_period=150)
+    base = solve_relaxation(gf.derive_matrix_data(counts), cfg)
+    assert base.status is SolveStatus.FINITE_OPTIMUM
+
+    providers = []
+    for s in range(4):
+        pert = copy.deepcopy(gf)
+        for i in range(len(pert.b)):
+            wobble = Fraction((s * 7919 + i * 104729) % 2001 - 1000, 100_000)
+            pert.b[i] = pert.b[i] * (1 + wobble)
+        providers.append(pert.derive_matrix_data(counts))
+
+    warm = solve_batch(
+        providers, cfg, certify=False, shared_structure=True,
+        warm_start_basis=base.basis,
+    )
+    cold = solve_batch(providers, cfg, certify=False, shared_structure=True)
+    assert all(r.status is SolveStatus.FINITE_OPTIMUM for r in warm)
+    for w, c in zip(warm, cold):
+        assert w.status is c.status
+        assert abs(w.objective - c.objective) <= 1e-4 * (1 + abs(c.objective))
+        assert w.stats.phase1_iterations == 0
+    warm_pivots = sum(r.stats.iterations for r in warm)
+    cold_pivots = sum(r.stats.iterations for r in cold)
+    assert warm_pivots < cold_pivots / 2, (warm_pivots, cold_pivots)
