@@ -429,9 +429,42 @@ def solve_batch(
     status = np.asarray(batch.status)
     basis_all = np.asarray(batch.basis)
     xB_all = np.asarray(batch.xB)
+    obj_all = np.asarray(batch.obj)
+    c2_np = np.asarray(c2)
     iters = np.asarray(batch.iteration)
     n_fallback = 0
+    n_rescued = 0
+    _A64_cache = {}
     _debug_gates = _os.environ.get("RELP_TPU_BATCH_DEBUG", "")
+
+    def _host_f64_rescue(k, problem):
+        """Re-derive basis-exact xB/obj in f64 on the host (one LU solve).
+
+        The batched from-scratch refactorization runs in f32 (the TPU fast
+        path); on an ill-conditioned basis (SHARE1B-class, cond(B) ~ 1e7)
+        its residual is legitimately ~1e-3 even when the basis IS the true
+        optimum, which used to trip the 1e-4 numerics gate and discard the
+        whole batch solve for a full single-LP re-solve.  One backward-
+        stable f64 solve per flagged LP settles it: either the recomputed
+        state passes the same primal-feasibility/artificial gates (accept,
+        with strictly better xB/obj than the f32 refactorization) or the
+        basis is genuinely bad (fall back as before)."""
+        key = id(problem.A)
+        A64 = _A64_cache.get(key)
+        if A64 is None:
+            A64 = np.asarray(problem.A, dtype=np.float64)
+            _A64_cache[key] = A64
+        B64 = A64[:, basis_all[k]]
+        b64 = np.asarray(problem.b, dtype=np.float64)
+        try:
+            xB64 = np.linalg.solve(B64, b64)
+        except np.linalg.LinAlgError:
+            return None
+        if not np.all(np.isfinite(xB64)):
+            return None
+        obj64 = float(np.asarray(c2_np[k], np.float64)[basis_all[k]] @ xB64)
+        return xB64, obj64
+
     for k, (provider, problem) in enumerate(zip(providers, problems)):
         stats = SolveStats(
             iterations=int(iters[k]),
@@ -440,28 +473,48 @@ def solve_batch(
             wall_time_s=wall,
         )
         ok = feasible[k] and status[k] == OPTIMAL
-        # Numerics gate on the basis-exact state: finite, small
-        # refactorization residual and primal-feasible recomputed xB.
-        numerics_ok = ok and (
-            np.isfinite(final_residual[k])
-            and final_residual[k] <= 1e-4
-            and float(xB_all[k, : problem.m_real].min()) >= -cfg.feas_tol
+        xB_row = xB_all[k]
+        obj_k = float(obj_all[k])
+
+        def _gates(xB_row, residual_ok):
+            # Numerics gate on the basis-exact state: finite, small
+            # refactorization residual and primal-feasible recomputed xB.
+            numerics = ok and (
+                residual_ok
+                and float(xB_row[: problem.m_real].min()) >= -cfg.feas_tol
+            )
+            # Zero-level artificials may stay basic: certification handles
+            # them (identity column, cost 0, exact value must be 0).  Only a
+            # clearly nonzero artificial means the batch solve went wrong.
+            artificial = ok and all(
+                int(basis_all[k, i]) < problem.art_offset
+                or abs(xB_row[i]) <= 1e-6
+                for i in range(problem.m_real)
+            )
+            return numerics, artificial
+
+        numerics_ok, artificial_ok = _gates(
+            xB_row,
+            bool(np.isfinite(final_residual[k]) and final_residual[k] <= 1e-4),
         )
-        # Zero-level artificials may stay basic: certification handles them
-        # (identity column, cost 0, exact value must be 0).  Only a clearly
-        # nonzero artificial means the batch solve went wrong.
-        artificial_ok = ok and all(
-            int(basis_all[k, i]) < problem.art_offset
-            or abs(xB_all[k, i]) <= 1e-6
-            for i in range(problem.m_real)
-        )
+        rescued = False
+        if ok and not (numerics_ok and artificial_ok):
+            rescue = _host_f64_rescue(k, problem)
+            if rescue is not None:
+                xB64, obj64 = rescue
+                n_ok, a_ok = _gates(xB64, np.isfinite(obj64))
+                if n_ok and a_ok:
+                    xB_row, obj_k = xB64, obj64
+                    numerics_ok = artificial_ok = True
+                    rescued = True
+                    n_rescued += 1
         if _debug_gates:
             print(
                 f"  batch-debug LP{k}: status={int(status[k])} "
                 f"feasible={bool(feasible[k])} iters={int(iters[k])} "
                 f"residual={float(final_residual[k]):.3e} "
-                f"xBmin={float(xB_all[k, : problem.m_real].min()):.3e} "
-                f"artificial_ok={artificial_ok}",
+                f"xBmin={float(xB_row[: problem.m_real].min()):.3e} "
+                f"artificial_ok={artificial_ok} rescued={rescued}",
                 flush=True,
             )
         if not ok or not numerics_ok or not artificial_ok:
@@ -473,14 +526,14 @@ def solve_batch(
         entries = []
         for i in range(problem.m_real):
             j = structural_basis[i]
-            if j < problem.n_real and abs(xB_all[k, i]) > cfg.zero_tol:
-                value = xB_all[k, i]
+            if j < problem.n_real and abs(xB_row[i]) > cfg.zero_tol:
+                value = xB_row[i]
                 if problem.col_scale is not None:
                     value *= problem.col_scale[j]
                 entries.append((j, value))
         result = OptimizationResult(
             status=SolveStatus.FINITE_OPTIMUM,
-            objective=float(np.asarray(batch.obj)[k]),
+            objective=obj_k,
             basis=structural_basis,
             stats=stats,
         )

@@ -30,6 +30,12 @@ def main():
                         help="solve the unperturbed base once, then dual-"
                              "warm-restart every scenario from its optimal "
                              "basis (skips both phases)")
+    parser.add_argument("--repeat", action="store_true",
+                        help="solve a SECOND fresh scenario family in the "
+                             "same process and report its timing too — the "
+                             "steady-state number with all shapes compiled "
+                             "(different rhs values, so the axon dispatch "
+                             "cache cannot serve it)")
     args = parser.parse_args()
 
     import jax
@@ -49,15 +55,21 @@ def main():
     print(f"device: {jax.devices()[0]}", flush=True)
     print(f"base problem: {base}", flush=True)
 
+    def build_family(salt):
+        providers = []
+        for s in range(args.batch):
+            gf = copy.deepcopy(base)
+            # Rational rhs perturbation: +/- up to 1% in exact arithmetic.
+            for i in range(len(gf.b)):
+                wobble = Fraction(
+                    (s * 7919 + i * 104729 + salt * 31) % 2001 - 1000, 100_000
+                )
+                gf.b[i] = gf.b[i] * (1 + wobble)
+            providers.append(gf.derive_matrix_data(counts))
+        return providers
+
     t0 = time.time()
-    providers = []
-    for s in range(args.batch):
-        gf = copy.deepcopy(base)
-        # Rational rhs perturbation: +/- up to 1% in exact arithmetic.
-        for i in range(len(gf.b)):
-            wobble = Fraction((s * 7919 + i * 104729) % 2001 - 1000, 100_000)
-            gf.b[i] = gf.b[i] * (1 + wobble)
-        providers.append(gf.derive_matrix_data(counts))
+    providers = build_family(0)
     build_s = time.time() - t0
 
     cfg = SolverConfig(
@@ -107,6 +119,28 @@ def main():
         f"{args.batch / solve_s:.1f} LPs/s)",
         flush=True,
     )
+
+    if args.repeat:
+        providers2 = build_family(1)
+        t0 = time.time()
+        results2 = solve_batch(
+            providers2, cfg, certify=False, shared_structure=True,
+            warm_start_basis=warm_basis,
+        )
+        solve2_s = time.time() - t0
+        optimal2 = sum(
+            r.status is SolveStatus.FINITE_OPTIMUM for r in results2
+        )
+        pivots2 = sum(r.stats.iterations for r in results2)
+        fallbacks2 = sum(r.stats.chunks > 0 for r in results2)
+        print(
+            f"steady-state (fresh family, shapes compiled): solve "
+            f"{solve2_s:.1f}s ({pivots2} pivots, "
+            f"{pivots2 / solve2_s:.0f} pivots/s, "
+            f"{args.batch / solve2_s:.1f} LPs/s; {optimal2} optimal, "
+            f"{fallbacks2} fallbacks)",
+            flush=True,
+        )
 
     # Exactly certify a sample on the host.
     from relp_tpu.exact.certify import certify_and_repair

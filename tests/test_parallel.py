@@ -370,3 +370,44 @@ def test_device_cadence_batched_chunk(cpu_config):
     for k, r in enumerate(base):
         if r.objective is not None:
             assert abs(float(np.asarray(batch.obj)[k]) - r.objective) < 1e-4
+
+
+def test_batch_f64_rescue_ill_conditioned_basis():
+    """SHARE1B scenarios: every basis is the true optimum, but cond(B)~1e7
+    makes the f32 from-scratch refactorization residual ~1e-3, which used to
+    trip the 1e-4 numerics gate and push ALL LPs to the single-LP fallback.
+    The f64 host rescue must keep them on the batch path (0 fallbacks) and
+    match the cold single-LP objective."""
+    import copy
+    from fractions import Fraction
+
+    from tests.conftest import reference_problem
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.io import mps_to_general_form, parse_fixed
+    from relp_tpu.parallel.batch_driver import solve_batch
+    from relp_tpu.simplex import solve_relaxation
+    from relp_tpu.simplex.result import SolveStatus
+
+    path = reference_problem("netlib", "SHARE1B.SIF")
+    with open(path) as f:
+        gf = mps_to_general_form(parse_fixed(f.read()))
+    gf.presolve()
+    counts = gf.standardize()
+    cfg = SolverConfig(pad_to=128, chunk_size=150, refactor_period=150)
+
+    providers = []
+    for s in range(3):
+        pert = copy.deepcopy(gf)
+        for i in range(len(pert.b)):
+            wobble = Fraction((s * 7919 + i * 104729) % 2001 - 1000, 100_000)
+            pert.b[i] = pert.b[i] * (1 + wobble)
+        providers.append(pert.derive_matrix_data(counts))
+
+    results = solve_batch(providers, cfg, certify=False, shared_structure=True)
+    assert all(r.status is SolveStatus.FINITE_OPTIMUM for r in results)
+    assert all(r.stats.chunks == 0 for r in results), "fell back to single-LP"
+    for r, p in zip(results, providers):
+        cold = solve_relaxation(p, cfg)
+        assert abs(r.objective - cold.objective) <= 1e-5 * (
+            1 + abs(cold.objective)
+        )
