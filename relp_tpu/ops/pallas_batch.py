@@ -166,11 +166,14 @@ def _make_kernel(
                 onehot_q = (col_ids == q).astype(jnp.float32)  # (1, N)
 
                 # --- FTRAN (state-critical: full precision) ---
-                a_q = jax.lax.dot_general(
-                    A, onehot_q,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=HI,  # exact column extraction
+                # Column extraction as a masked VPU reduction: exact (the
+                # mask is 0/1 so each output element is a single product)
+                # and cheaper than the one-hot dot, which Mosaic lowers as
+                # a 3-pass HIGHEST MXU matvec just to select a column.
+                a_q = jnp.sum(
+                    A * jnp.broadcast_to(onehot_q, (M, N)),
+                    axis=1,
+                    keepdims=True,
                 )  # (M, 1)
                 w = jnp.dot(
                     Binv, a_q, preferred_element_type=jnp.float32, precision=HI
@@ -218,12 +221,12 @@ def _make_kernel(
                 w_r = jnp.sum(wc * onehot_r)
                 safe_wr = jnp.where(do, w_r, f1)
                 t = jnp.sum(xB_eff * onehot_r) / safe_wr
+                # Row extraction as a masked VPU reduction (exact; see a_q).
                 Binv_r = (
-                    jax.lax.dot_general(
-                        onehot_r, Binv,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=HI,  # exact row extraction
+                    jnp.sum(
+                        Binv * jnp.broadcast_to(onehot_r, (M, M)),
+                        axis=0,
+                        keepdims=True,
                     )
                     / safe_wr
                 )  # (1, M)

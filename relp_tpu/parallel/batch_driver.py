@@ -196,7 +196,7 @@ def solve_batch(
         and megakernel_applicable(A, cfg.dtype, cfg.scan_dtype, pricing, mesh)
     )
 
-    def step(batch, c, stop_at_zero, hi_scan):
+    def step(batch, c, stop_at_zero, hi_scan, mega):
         """One chunk of pivots + refactorization + gamma/d refresh as a
         single fused dispatch, returning a packed (4, B) report array so the
         host needs exactly one small pull per chunk.  Tunnel round trips
@@ -204,7 +204,7 @@ def solve_batch(
         gamma, and the status/obj/iteration pulls each went separately
         (measured: 2.9k end-to-end pivots/s vs 314k inside the loop)."""
         it_before = batch.iteration
-        if use_megakernel:
+        if mega:
             import jax as _jax
 
             batch = megakernel_run_chunk(
@@ -246,16 +246,26 @@ def solve_batch(
         )
         # Newton-Schulz refresh of the carried inverses (pure batched
         # matmuls) — batched linalg.inv is pathologically slow on TPU.
-        Binv, xB, pi, obj, _residual = v_newton(batch.Binv, A, b, c, batch.basis)
+        Binv, xB, pi, obj, residual = v_newton(batch.Binv, A, b, c, batch.basis)
         xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
-        batch = batch._replace(Binv=Binv, xB=xB, pi=pi, obj=obj)
+        # Numerical breakdown (NaN/diverged carry, e.g. a near-singular f32
+        # basis): freeze the LP as SINGULAR instead of letting NaN state
+        # burn lockstep chunks until the cap; it falls back per-LP at
+        # extraction like any other non-OPTIMAL member.
+        broke = (~jnp.isfinite(residual)) | (residual > 1.0)
+        batch = batch._replace(
+            Binv=Binv, xB=xB, pi=pi, obj=obj,
+            status=jnp.where(
+                broke & (batch.status == RUNNING), SINGULAR, batch.status
+            ).astype(batch.status.dtype),
+        )
         if pricing == PRICE_STEEPEST:
             batch = batch._replace(gamma=v_gamma(Binv, A_scan, batch.in_basis))
         return batch, report
 
-    step = jax.jit(step, static_argnames=("stop_at_zero", "hi_scan"))
+    step = jax.jit(step, static_argnames=("stop_at_zero", "hi_scan", "mega"))
 
-    def run_phase(batch, c, stop_at_zero):
+    def run_phase(batch, c, stop_at_zero, mega=None):
         if pricing == PRICE_STEEPEST:
             batch = batch._replace(gamma=v_gamma(batch.Binv, A_scan, batch.in_basis))
         # The batched loop has no per-LP Bland/perturbation machinery; a few
@@ -266,7 +276,10 @@ def solve_batch(
         )
         hi = False
         for _ in range(max_chunks):
-            batch, report = step(batch, c, stop_at_zero, hi)
+            batch, report = step(
+                batch, c, stop_at_zero, hi,
+                use_megakernel if mega is None else mega,
+            )
             report = np.asarray(report)
             status = report[0].astype(np.int32)
             obj = report[1]
@@ -405,8 +418,16 @@ def solve_batch(
         status = np.where(feasible, RUNNING, np.asarray(batch.status))
         batch = batch._replace(status=jnp.asarray(status.astype(np.int32)))
 
-    # Phase 2 + full-precision polish.
-    batch = run_phase(batch, c2, stop_at_zero=False)
+    # Phase 2 + full-precision polish.  After an engaged warm restart the
+    # phase is a near-optimal re-verification (~0-3 pivots/LP): run it on
+    # the XLA path even when the megakernel is enabled — the re-verify is
+    # scan-dominated, so VMEM residency buys nothing, and the megakernel's
+    # hardware noise guards cost extra pivots on already-optimal bases
+    # (measured: 72 vs 3 pivots/LP on warm ADLITTLE at B=1024/256).
+    batch = run_phase(
+        batch, c2, stop_at_zero=False,
+        mega=use_megakernel and not warm_engaged,
+    )
     if mixed:
         status = np.asarray(batch.status)
         polish = np.where(status == OPTIMAL, RUNNING, status)
