@@ -32,6 +32,15 @@ def main(argv=None) -> int:
     solve.add_argument("--json", action="store_true", help="machine-readable output")
     solve.add_argument("--save-basis", help="write the optimal basis to this path")
     solve.add_argument("--values", action="store_true", help="print variable values")
+    solve.add_argument(
+        "--mip",
+        action="store_true",
+        help="honor MPS integer markers: exact branch & bound over batched "
+        "LP relaxations (default: solve the LP relaxation like the "
+        "reference)",
+    )
+    solve.add_argument("--node-limit", type=int, default=10_000)
+    solve.add_argument("--batch-width", type=int, default=16)
 
     args = parser.parse_args(argv)
 
@@ -55,6 +64,43 @@ def main(argv=None) -> int:
     cfg = SolverConfig(**overrides)
 
     gf = load_general_form(args.path)
+    if args.mip:
+        from relp_tpu.mip import solve_mip
+
+        mip = solve_mip(
+            gf, cfg, batch_width=args.batch_width, node_limit=args.node_limit
+        )
+        payload = {
+            "status": mip.status.value,
+            "objective": str(mip.objective) if mip.objective is not None else None,
+            "objective_float": (
+                float(mip.objective) if mip.objective is not None else None
+            ),
+            "certified": mip.certified,
+            "nodes_solved": mip.nodes_solved,
+            "nodes_pruned": mip.nodes_pruned,
+            "node_limit_hit": mip.node_limit_hit,
+            "root_objective": (
+                str(mip.root_objective)
+                if mip.root_objective is not None
+                else None
+            ),
+        }
+        if args.json:
+            if args.values and mip.solution is not None:
+                payload["values"] = {
+                    name: str(value)
+                    for name, value in mip.solution.solution_values
+                }
+            print(json.dumps(payload))
+        else:
+            for key, value in payload.items():
+                print(f"{key}: {value}")
+            if args.values and mip.solution is not None:
+                for name, value in mip.solution.solution_values:
+                    if value:
+                        print(f"  {name} = {value}")
+        return 0 if mip.status is SolveStatus.FINITE_OPTIMUM else 1
     result, solution = solve_general_form(gf, cfg)
 
     if args.save_basis and result.basis:

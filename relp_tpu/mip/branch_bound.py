@@ -1,0 +1,377 @@
+"""Exact branch & bound over batched LP relaxations.
+
+Beyond reference scope (the reference's README roadmap lists branch & bound
+as unimplemented; its miplib tests stop at root relaxations,
+/root/reference/tests/miplib/mod.rs:48-72), and TPU-native by construction:
+
+* **Branching never changes the constraint matrix.**  Before lowering, every
+  integer variable gets one redundant ``x' >= 0`` row appended to the
+  ``>=`` group; lower-bound branches tighten that row's rhs and upper-bound
+  branches tighten the variable's bound row, so every B&B node is the SAME
+  standard-form matrix with a different rhs ``[b; u; r]``.
+* **The open-node frontier is therefore a perturbed-rhs scenario family** —
+  exactly what the batched scenario driver solves in lockstep on one chip
+  (``solve_batch(shared_structure=True)``), warm-started from the root
+  optimum by batched dual-simplex pivots (no phase 1 per node).
+* **Everything is exact.**  Node relaxations are certified rational
+  optima (Dixon); bounds, incumbents, pruning comparisons, and integrality
+  checks are Fraction arithmetic; INFEASIBLE nodes carry exact Farkas
+  certificates through the single-LP fallback.
+
+v1 scope (documented limits, checked with clear errors):
+
+* every integer variable must have finite lower AND upper bounds (so its
+  bound row exists in the standard form at every node);
+* free integer variables (split as x+ - x-) are not supported;
+* GeneralForm presolve is NOT applied: the presolve rules are LP-exact but
+  not all are MIP-safe (e.g. a column-singleton substitution may eliminate
+  an integer variable at a fractional value).  MIP-safe presolve is future
+  work.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import heapq
+from dataclasses import dataclass
+from fractions import Fraction
+from typing import List, Optional, Sequence, Tuple
+
+from relp_tpu.config import SolverConfig, default_config
+from relp_tpu.data.elements import RangedConstraintRelation, VariableType
+from relp_tpu.data.general_form import Active, GeneralForm
+from relp_tpu.data.solution import Solution
+from relp_tpu.simplex.result import OptimizationResult, SolveStatus
+
+
+@dataclass
+class MipResult:
+    """Outcome of an exact branch & bound run.
+
+    ``objective``/``solution`` are in the standardized MINIMIZE sense (the
+    same convention as ``solve_general_form``); ``certified`` means every
+    node bound and the incumbent were exactly certified.
+    """
+
+    status: SolveStatus
+    objective: Optional[Fraction] = None
+    solution: Optional[Solution] = None
+    nodes_solved: int = 0
+    nodes_pruned: int = 0
+    node_limit_hit: bool = False
+    certified: bool = True
+    root_objective: Optional[Fraction] = None
+
+
+@dataclass(order=True)
+class _Node:
+    """One open node: its parent's bound (the best-first heap priority) plus
+    the integer-variable bounds in ACTIVE standardized space.
+
+    ``bound_exact`` records whether ``bound`` is a certified rational — only
+    exact bounds may prune (a float bound could prune the true optimum)."""
+
+    bound: Fraction
+    seq: int  # tie-break: FIFO among equal bounds
+    lower: Tuple[Fraction, ...] = dataclasses.field(compare=False)
+    upper: Tuple[Fraction, ...] = dataclasses.field(compare=False)
+    bound_exact: bool = dataclasses.field(compare=False, default=True)
+
+
+def _integer_actives(gf: GeneralForm) -> List[int]:
+    """Indices of active integer variables; reject unsupported shapes."""
+    actives = [
+        k
+        for k, v in enumerate(gf.variables)
+        if v.variable_type is VariableType.INTEGER
+    ]
+    for k in actives:
+        orig = gf.from_active_to_original[k]
+        entry = gf.original_variables[orig][1]
+        if not isinstance(entry, Active):
+            raise NotImplementedError(
+                "free (split) integer variables are not supported; give "
+                f"integer variable {gf.original_variables[orig][0]!r} "
+                "finite bounds"
+            )
+        if gf.variables[k].upper_bound is None:
+            raise NotImplementedError(
+                "integer variables need a finite upper bound (its bound row "
+                "must exist in the standard form); "
+                f"{gf.original_variables[orig][0]!r} has none"
+            )
+    return actives
+
+
+def _add_branch_rows(gf: GeneralForm, actives: Sequence[int]) -> List[int]:
+    """Append one redundant ``x'_k >= 0`` row per integer variable (at the
+    end of the ``>=`` group, so the standardize() row grouping is kept) and
+    return the new row indices.  These rows receive lower-bound branches as
+    pure rhs tweaks — the constraint matrix never changes across nodes."""
+    base = gf.nr_constraints()
+    rows = []
+    for t, k in enumerate(actives):
+        row = base + t
+        gf.constraints.columns[k].append((row, Fraction(1)))
+        gf.b.append(Fraction(0))
+        gf.constraint_types.append(RangedConstraintRelation.greater())
+        rows.append(row)
+    gf.constraints.nr_rows = base + len(actives)
+    assert gf.is_consistent()
+    return rows
+
+
+def _node_provider(gf, counts, branch_rows, actives, node: _Node):
+    """MatrixData for one node: shared constraint matrix, node-specific rhs
+    (branch-row b entries + integer-variable upper bounds)."""
+    b = list(gf.b)
+    for t, row in enumerate(branch_rows):
+        b[row] = node.lower[t]
+    variables = list(gf.variables)
+    for t, k in enumerate(actives):
+        variables[k] = dataclasses.replace(variables[k], upper_bound=node.upper[t])
+    from relp_tpu.providers.matrix_data import MatrixData
+
+    nr_eq, nr_range, nr_le, nr_ge = counts
+    ranges = [
+        ct.range for ct in gf.constraint_types[nr_eq : nr_eq + nr_range]
+    ]
+    return MatrixData(
+        constraints=gf.constraints,
+        b=b,
+        ranges=ranges,
+        nr_equality=nr_eq,
+        nr_range=nr_range,
+        nr_upper=nr_le,
+        nr_lower=nr_ge,
+        variables=variables,
+    )
+
+
+def _exact_values(
+    result: OptimizationResult, provider, gf, actives
+) -> Optional[List[Fraction]]:
+    """Exact ORIGINAL-space values of the integer variables, or None when
+    only a float bfs is available."""
+    reduced = getattr(result, "exact_bfs", None)
+    if reduced is None:
+        reduced = result.bfs
+    if reduced is None:
+        return None
+    active_vals = provider.reconstruct_solution(copy.deepcopy(reduced))
+    out = []
+    for k in actives:
+        v = active_vals.get(k)
+        var = gf.variables[k]
+        orig = v - var.shift
+        if var.flipped:
+            orig = -orig
+        out.append(orig)
+    return out
+
+
+def _branch_bounds(var, value: Fraction):
+    """Map original-space branches x <= floor(v) / x >= ceil(v) to ACTIVE
+    standardized-space (lower, upper) deltas.
+
+    reshift_solution defines orig = flip(x' - shift), so
+      not flipped: x' = orig + shift
+      flipped:     x' = shift - orig
+    Down child (orig <= floor): ub' = floor+shift  (or lb' = shift-floor).
+    Up   child (orig >= ceil):  lb' = ceil+shift   (or ub' = shift-ceil).
+    """
+    import math
+
+    f = Fraction(math.floor(value))
+    c = f + 1
+    if not var.flipped:
+        down = ("ub", f + var.shift)
+        up = ("lb", c + var.shift)
+    else:
+        down = ("lb", var.shift - f)
+        up = ("ub", var.shift - c)
+    return down, up
+
+
+def solve_mip(
+    general_form: GeneralForm,
+    config: Optional[SolverConfig] = None,
+    *,
+    batch_width: int = 16,
+    node_limit: int = 10_000,
+) -> MipResult:
+    """Exact branch & bound on a GeneralForm with integer variables.
+
+    ``batch_width`` open nodes are popped best-bound-first per wave and
+    solved in lockstep by the batched scenario driver (all nodes share the
+    constraint matrix; only rhs entries differ), dual-warm-restarted from
+    the root optimal basis.  With no integer variables this degenerates to
+    one exact LP solve.
+    """
+    from relp_tpu.parallel.batch_driver import solve_batch
+    from relp_tpu.simplex.driver import solve_relaxation
+
+    cfg = config or default_config()
+    cfg = dataclasses.replace(cfg, certify=True)
+    gf = general_form
+
+    counts = list(gf.standardize())
+    actives = _integer_actives(gf)
+    branch_rows = _add_branch_rows(gf, actives)
+    counts[3] += len(branch_rows)
+    counts = tuple(counts)
+
+    # --- root relaxation ---
+    root_lower = tuple(Fraction(0) for _ in actives)
+    root_upper = tuple(gf.variables[k].upper_bound for k in actives)
+    root_node = _Node(Fraction(0), 0, root_lower, root_upper)
+    root_provider = _node_provider(gf, counts, branch_rows, actives, root_node)
+    root = solve_relaxation(root_provider, cfg)
+    if root.status is SolveStatus.INFEASIBLE:
+        return MipResult(SolveStatus.INFEASIBLE, certified=root.stats.certified)
+    if root.status is SolveStatus.UNBOUNDED:
+        return MipResult(SolveStatus.UNBOUNDED, certified=root.stats.certified)
+    if not root.is_optimal():
+        return MipResult(root.status, certified=False)
+
+    result = MipResult(SolveStatus.FINITE_OPTIMUM)
+    result.root_objective = root.exact_objective
+    result.certified = bool(root.stats.certified)
+    incumbent_obj: Optional[Fraction] = None
+    incumbent_reduced = None
+    seq = 1
+    heap: List[_Node] = []
+
+    def consider(node: _Node, res: OptimizationResult, provider) -> None:
+        """Prune / accept / branch one solved node."""
+        nonlocal incumbent_obj, incumbent_reduced, seq
+        if res.status is SolveStatus.INFEASIBLE:
+            result.nodes_pruned += 1
+            return
+        if not res.is_optimal():
+            # Numerical failure even after the single-LP escalation ladder:
+            # the node's subtree cannot be certified-pruned.  Give up on
+            # exactness honestly rather than silently dropping the subtree.
+            result.certified = False
+            result.nodes_pruned += 1
+            return
+        if not res.stats.certified:
+            result.certified = False
+        exact_bound = res.exact_objective
+        if exact_bound is not None:
+            bound, bound_exact = exact_bound, True
+        else:
+            # Priority only — a float-derived bound must never prune.
+            bound = Fraction(float(res.objective)).limit_denominator(10**9)
+            bound_exact = False
+        if (
+            bound_exact
+            and incumbent_obj is not None
+            and bound >= incumbent_obj
+        ):
+            result.nodes_pruned += 1
+            return
+        values = _exact_values(res, provider, gf, actives)
+        if values is None:
+            result.certified = False
+            result.nodes_pruned += 1
+            return
+        fractional = [
+            (t, v) for t, v in enumerate(values) if v.denominator != 1
+        ]
+        if not fractional:
+            # Integer feasible.  Only an exactly-certified incumbent may
+            # drive pruning; an uncertified one is recorded but drops the
+            # run's certified flag (already cleared above).
+            if bound_exact and (incumbent_obj is None or bound < incumbent_obj):
+                incumbent_obj = bound
+                reduced = getattr(res, "exact_bfs", None)
+                if reduced is None:
+                    reduced = res.bfs
+                incumbent_reduced = copy.deepcopy(reduced)
+                result.objective = incumbent_obj
+            return
+        # Most-fractional branching: fractional part closest to 1/2.
+        import math
+
+        def frac_distance(tv):
+            frac = tv[1] - math.floor(tv[1])
+            return abs(frac - Fraction(1, 2))
+
+        t, v = min(fractional, key=frac_distance)
+        k = actives[t]
+        down, up = _branch_bounds(gf.variables[k], v)
+        for kind, val in (down, up):
+            lower = list(node.lower)
+            upper = list(node.upper)
+            if kind == "lb":
+                lower[t] = max(lower[t], max(val, Fraction(0)))
+            else:
+                upper[t] = min(upper[t], val)
+            if upper[t] < lower[t] or upper[t] < 0:
+                result.nodes_pruned += 1
+                continue
+            heapq.heappush(
+                heap,
+                _Node(bound, seq, tuple(lower), tuple(upper), bound_exact),
+            )
+            seq += 1
+
+    consider(root_node, root, root_provider)
+    result.nodes_solved = 1
+
+    while heap and result.nodes_solved < node_limit:
+        wave: List[_Node] = []
+        while heap and len(wave) < batch_width:
+            node = heapq.heappop(heap)
+            if (
+                node.bound_exact
+                and incumbent_obj is not None
+                and node.bound >= incumbent_obj
+            ):
+                result.nodes_pruned += 1
+                continue
+            wave.append(node)
+        if not wave:
+            break
+        providers = [
+            _node_provider(gf, counts, branch_rows, actives, n) for n in wave
+        ]
+        if len(providers) == 1:
+            solved = [
+                solve_relaxation(
+                    providers[0], cfg, warm_start_basis=root.basis
+                )
+            ]
+        else:
+            solved = solve_batch(
+                providers,
+                cfg,
+                certify=True,
+                shared_structure=True,
+                warm_start_basis=root.basis,
+            )
+        for node, res, provider in zip(wave, solved, providers):
+            consider(node, res, provider)
+        result.nodes_solved += len(wave)
+
+    result.node_limit_hit = bool(heap) and result.nodes_solved >= node_limit
+    if incumbent_obj is None:
+        if result.node_limit_hit:
+            return dataclasses.replace(
+                result, status=SolveStatus.NUMERICAL_ERROR, certified=False
+            )
+        return MipResult(
+            SolveStatus.INFEASIBLE,
+            nodes_solved=result.nodes_solved,
+            nodes_pruned=result.nodes_pruned,
+            certified=result.certified,
+        )
+    # The incumbent is exactly optimal only if the tree was exhausted.
+    if result.node_limit_hit:
+        result.certified = False
+    reduced = root_provider.reconstruct_solution(incumbent_reduced)
+    result.solution = gf.compute_full_solution_with_reduced_solution(reduced)
+    result.objective = incumbent_obj
+    return result

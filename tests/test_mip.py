@@ -1,0 +1,176 @@
+"""Exact branch & bound (relp_tpu.mip) — beyond reference scope.
+
+The reference's README roadmap lists branch & bound as unimplemented and its
+miplib tests stop at root relaxations (/root/reference/tests/miplib/mod.rs);
+here integer programs solve to certified rational optimality, with the open
+frontier batched through the scenario driver (all nodes share the constraint
+matrix; branches are rhs-only changes) and dual-warm-restarted from the root
+basis.
+"""
+
+import itertools
+from fractions import Fraction
+
+import pytest
+
+from relp_tpu.config import SolverConfig
+from relp_tpu.data.elements import (
+    Objective,
+    RangedConstraintRelation,
+    VariableType,
+)
+from relp_tpu.data.general_form import GeneralForm, Variable
+from relp_tpu.linalg.sparse import SparseColumnMatrix
+from relp_tpu.mip import solve_mip
+from relp_tpu.simplex.result import SolveStatus
+
+
+def _cfg(**overrides):
+    defaults = dict(pad_to=8, chunk_size=50, refactor_period=50)
+    defaults.update(overrides)
+    return SolverConfig(**defaults)
+
+
+def _gf(objective, rows, relations, b, costs, bounds, types, names=None):
+    return GeneralForm(
+        objective=objective,
+        constraints=SparseColumnMatrix.from_dense(
+            [[Fraction(v) for v in row] for row in rows]
+        ),
+        constraint_types=relations,
+        b=[Fraction(v) for v in b],
+        variables=[
+            Variable(
+                variable_type=t,
+                cost=Fraction(c),
+                lower_bound=None if lo is None else Fraction(lo),
+                upper_bound=None if hi is None else Fraction(hi),
+            )
+            for c, (lo, hi), t in zip(costs, bounds, types)
+        ],
+        variable_names=names or [f"x{j}" for j in range(len(costs))],
+    )
+
+
+def test_mip_branches_to_integer_optimum():
+    """max 5x+4y s.t. 6x+4y<=24, x+2y<=6, x in [0,4], y in [0,3] integers.
+    LP relaxation: (3, 3/2) with value 21; MIP optimum: (4, 0) value 20."""
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [[6, 4], [1, 2]],
+        [RangedConstraintRelation.less(), RangedConstraintRelation.less()],
+        [24, 6],
+        [5, 4],
+        [(0, 4), (0, 3)],
+        [VariableType.INTEGER, VariableType.INTEGER],
+        names=["x", "y"],
+    )
+    res = solve_mip(gf, _cfg())
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.certified
+    # Standardized minimize sense: max 5x+4y == min -(5x+4y).
+    assert res.objective == Fraction(-20)
+    assert res.root_objective == Fraction(-21)
+    assert res.solution.value_of("x") == 4
+    assert res.solution.value_of("y") == 0
+    assert res.nodes_solved > 1
+
+
+def test_mip_integral_root_needs_no_branching():
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [[1, 1]],
+        [RangedConstraintRelation.less()],
+        [4],
+        [1, 1],
+        [(0, 2), (0, 2)],
+        [VariableType.INTEGER, VariableType.INTEGER],
+    )
+    res = solve_mip(gf, _cfg())
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.objective == Fraction(-4)
+    assert res.nodes_solved == 1
+    assert res.certified
+
+
+def test_mip_integer_infeasible_window():
+    """x integer with 1/5 <= x <= 4/5: LP feasible, no integer point."""
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1]],
+        [RangedConstraintRelation.less()],
+        [1],
+        [1],
+        [(Fraction(1, 5), Fraction(4, 5))],
+        [VariableType.INTEGER],
+    )
+    res = solve_mip(gf, _cfg())
+    assert res.status is SolveStatus.INFEASIBLE
+
+
+def test_mip_mixed_integer_continuous():
+    """min -(x+y), x continuous in [0, 3/2], y integer in [0,10], x+y<=27/10.
+    LP: (3/2, 6/5); MIP optimum: y=2, x=7/10 -> -27/10."""
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, 1]],
+        [RangedConstraintRelation.less()],
+        [Fraction(27, 10)],
+        [-1, -1],
+        [(0, Fraction(3, 2)), (0, 10)],
+        [VariableType.CONTINUOUS, VariableType.INTEGER],
+        names=["x", "y"],
+    )
+    res = solve_mip(gf, _cfg())
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.certified
+    assert res.objective == Fraction(-27, 10)
+    assert res.solution.value_of("y") == 2
+    assert res.solution.value_of("x") == Fraction(7, 10)
+
+
+def test_mip_knapsack_matches_brute_force():
+    """6-item 0/1 knapsack solved through batched waves (batch_width=4);
+    optimum cross-checked by exact enumeration."""
+    values = [10, 13, 7, 8, 12, 9]
+    weights = [5, 7, 4, 3, 6, 5]
+    W = 14
+    best = max(
+        (
+            sum(v for v, take in zip(values, picks) if take)
+            for picks in itertools.product([0, 1], repeat=6)
+            if sum(w for w, take in zip(weights, picks) if take) <= W
+        ),
+    )
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [weights],
+        [RangedConstraintRelation.less()],
+        [W],
+        values,
+        [(0, 1)] * 6,
+        [VariableType.INTEGER] * 6,
+    )
+    res = solve_mip(gf, _cfg(), batch_width=4)
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.certified
+    assert res.objective == -best
+    # The incumbent solution is integer feasible in the original space.
+    picked = [res.solution.value_of(f"x{j}") for j in range(6)]
+    assert all(v in (0, 1) for v in picked)
+    assert sum(w * v for w, v in zip(weights, picked)) <= W
+    assert sum(v * p for v, p in zip(values, picked)) == best
+
+
+def test_mip_rejects_unbounded_integer():
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1]],
+        [RangedConstraintRelation.greater()],
+        [1],
+        [1],
+        [(0, None)],
+        [VariableType.INTEGER],
+    )
+    with pytest.raises(NotImplementedError):
+        solve_mip(gf, _cfg())
