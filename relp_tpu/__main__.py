@@ -41,6 +41,10 @@ def main(argv=None) -> int:
     )
     solve.add_argument("--node-limit", type=int, default=10_000)
     solve.add_argument("--batch-width", type=int, default=16)
+    solve.add_argument(
+        "--gomory-cuts", type=int, default=8,
+        help="max exact root GMI cuts (0 disables)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -68,7 +72,8 @@ def main(argv=None) -> int:
         from relp_tpu.mip import solve_mip
 
         mip = solve_mip(
-            gf, cfg, batch_width=args.batch_width, node_limit=args.node_limit
+            gf, cfg, batch_width=args.batch_width,
+            node_limit=args.node_limit, gomory_cuts=args.gomory_cuts,
         )
         payload = {
             "status": mip.status.value,

@@ -200,6 +200,7 @@ def solve_mip(
     *,
     batch_width: int = 16,
     node_limit: int = 10_000,
+    gomory_cuts: int = 8,
 ) -> MipResult:
     """Exact branch & bound on a GeneralForm with integer variables.
 
@@ -208,13 +209,33 @@ def solve_mip(
     constraint matrix; only rhs entries differ), dual-warm-restarted from
     the root optimal basis.  With no integer variables this degenerates to
     one exact LP solve.
+
+    ``gomory_cuts`` > 0 adds one round of up to that many exact Gomory
+    mixed-integer cuts at the root (relp_tpu.mip.cuts) before branching —
+    globally valid inequalities, so every node shares the augmented matrix.
     """
     from relp_tpu.parallel.batch_driver import solve_batch
     from relp_tpu.simplex.driver import solve_relaxation
 
+    import math
+
     cfg = config or default_config()
     cfg = dataclasses.replace(cfg, certify=True)
     gf = general_form
+
+    # MIP-safe bound strengthening: integer bounds round inward exactly.
+    for v in gf.variables:
+        if v.variable_type is VariableType.INTEGER:
+            if v.lower_bound is not None:
+                v.lower_bound = Fraction(math.ceil(v.lower_bound))
+            if v.upper_bound is not None:
+                v.upper_bound = Fraction(math.floor(v.upper_bound))
+            if (
+                v.lower_bound is not None
+                and v.upper_bound is not None
+                and v.upper_bound < v.lower_bound
+            ):
+                return MipResult(SolveStatus.INFEASIBLE)
 
     counts = list(gf.standardize())
     actives = _integer_actives(gf)
@@ -234,6 +255,54 @@ def solve_mip(
         return MipResult(SolveStatus.UNBOUNDED, certified=root.stats.certified)
     if not root.is_optimal():
         return MipResult(root.status, certified=False)
+
+    # --- one round of exact root GMI cuts (globally valid: shared by every
+    # node, so the frontier stays a perturbed-rhs family of ONE matrix) ---
+    cuts: list = []
+    cut_rhs: list = []
+    if gomory_cuts > 0:
+        root_vals = _exact_values(root, root_provider, gf, actives)
+        if root_vals is not None and any(
+            v.denominator != 1 for v in root_vals
+        ):
+            from relp_tpu.mip.cuts import CutProvider, gomory_mixed_cuts
+
+            # root.basis indexes the provider the driver actually solved —
+            # after rank repair that is a RemoveRows view with fewer rows.
+            # RemoveRows keeps column indices, so cuts derived on it are
+            # valid over the unfiltered node matrices.
+            basis_provider = getattr(root, "provider", root_provider)
+            cuts, cut_rhs = gomory_mixed_cuts(
+                basis_provider, root.basis, set(actives), max_cuts=gomory_cuts
+            )
+            if cuts:
+                cut_provider = CutProvider(root_provider, cuts, cut_rhs)
+                cut_root = solve_relaxation(cut_provider, cfg)
+                if cut_root.status is SolveStatus.INFEASIBLE:
+                    # Valid inequalities never cut an integer point: the
+                    # MIP is infeasible.
+                    return MipResult(
+                        SolveStatus.INFEASIBLE,
+                        certified=cut_root.stats.certified,
+                    )
+                if cut_root.is_optimal():
+                    root_provider, root = cut_provider, cut_root
+                else:
+                    cuts, cut_rhs = [], []  # numerical trouble: drop cuts
+
+    def wrap(md):
+        if cuts:
+            from relp_tpu.mip.cuts import CutProvider
+
+            return CutProvider(md, cuts, cut_rhs)
+        return md
+
+    # Warm-start nodes from the root basis only when it matches the node
+    # row count — rank repair on the root shrinks the basis, and fresh node
+    # providers are unfiltered (each node repairs its own rank if needed).
+    warm_basis = root.basis
+    if warm_basis is not None and len(warm_basis) != root_provider.nr_rows():
+        warm_basis = None
 
     result = MipResult(SolveStatus.FINITE_OPTIMUM)
     result.root_objective = root.exact_objective
@@ -336,12 +405,13 @@ def solve_mip(
         if not wave:
             break
         providers = [
-            _node_provider(gf, counts, branch_rows, actives, n) for n in wave
+            wrap(_node_provider(gf, counts, branch_rows, actives, n))
+            for n in wave
         ]
         if len(providers) == 1:
             solved = [
                 solve_relaxation(
-                    providers[0], cfg, warm_start_basis=root.basis
+                    providers[0], cfg, warm_start_basis=warm_basis
                 )
             ]
         else:
@@ -350,7 +420,7 @@ def solve_mip(
                 cfg,
                 certify=True,
                 shared_structure=True,
-                warm_start_basis=root.basis,
+                warm_start_basis=warm_basis,
             )
         for node, res, provider in zip(wave, solved, providers):
             consider(node, res, provider)

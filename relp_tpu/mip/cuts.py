@@ -1,0 +1,183 @@
+"""Exact Gomory mixed-integer (GMI) cuts at the branch & bound root.
+
+Beyond reference scope: Gomory cuts are the third unimplemented item on the
+reference's README roadmap (with branch & bound and floating-point
+arithmetic — /root/reference/README.md:60-70).
+
+Everything is exact: the tableau row is re-derived from the root basis with
+Dixon solves (one ``B^T y = e_i`` per cut via the cached
+:class:`~relp_tpu.exact.dixon.ExactSolver`), the GMI coefficients are
+Fraction arithmetic, and the resulting inequalities are globally valid for
+the MIP — so they are added ONCE to the standard form and shared by every
+B&B node (the node frontier stays a perturbed-rhs family of one matrix).
+
+GMI derivation (minimize form, all columns >= 0, equality row
+``x_B[i] + sum_j abar_j x_j = xbar_i`` with every nonbasic at 0):
+with ``f0 = frac(xbar_i)`` and ``f_j = frac(abar_j)``,
+
+    sum_{j int, f_j <= f0} f_j x_j
+  + sum_{j int, f_j >  f0} f0 (1 - f_j) / (1 - f0) x_j
+  + sum_{j cont, abar_j > 0} abar_j x_j
+  + sum_{j cont, abar_j < 0} f0 (-abar_j) / (1 - f0) x_j   >=   f0.
+
+Treating an integer column as continuous is always valid (weaker cut), so
+slacks and any integrality-ambiguous columns take the continuous branch.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from relp_tpu.exact.dixon import ExactSingularError, ExactSolver
+from relp_tpu.linalg.sparse import SparseVector
+from relp_tpu.providers.base import BoundDirection, MatrixProvider
+from relp_tpu.providers.column import Column, SparseColumn
+
+
+class CutProvider(MatrixProvider):
+    """A provider with ``>=`` cut rows appended to the standard form.
+
+    Cut t becomes row ``base_m + t``: ``sum_j c_tj x_j - s_t = rhs_t`` with a
+    fresh surplus column ``base_n + t`` (cost 0).  The surplus cannot serve
+    as an initial pivot (coefficient -1 against a positive rhs), so the
+    lowering gives cut rows phase-1 artificials automatically — exactly how
+    any ``>=`` row enters the standard form.
+    """
+
+    def __init__(
+        self,
+        inner: MatrixProvider,
+        cuts: Sequence[Dict[int, Fraction]],
+        rhs: Sequence[Fraction],
+    ):
+        assert len(cuts) == len(rhs)
+        self.inner = inner
+        self.cuts = list(cuts)
+        self.cut_rhs = [Fraction(v) for v in rhs]
+        self._base_m = inner.nr_rows()
+        self._base_n = inner.nr_columns()
+
+    # --- shape ---
+    def nr_rows(self) -> int:
+        return self._base_m + len(self.cuts)
+
+    def nr_columns(self) -> int:
+        return self._base_n + len(self.cuts)
+
+    def nr_constraints(self) -> int:
+        return self.inner.nr_constraints() + len(self.cuts)
+
+    def nr_variable_bounds(self) -> int:
+        return self.inner.nr_variable_bounds()
+
+    # --- data ---
+    def column(self, j: int) -> Column:
+        if j >= self._base_n:
+            t = j - self._base_n
+            return SparseColumn([(self._base_m + t, Fraction(-1))])
+        entries = list(self.inner.column(j).iter_entries())
+        for t, cut in enumerate(self.cuts):
+            v = cut.get(j)
+            if v:
+                entries.append((self._base_m + t, v))
+        return SparseColumn(entries)
+
+    def cost_value(self, j: int) -> Fraction:
+        if j >= self._base_n:
+            return Fraction(0)
+        return self.inner.cost_value(j)
+
+    def right_hand_side(self) -> List[Fraction]:
+        return list(self.inner.right_hand_side()) + list(self.cut_rhs)
+
+    def bound_row_index(self, j: int, direction: BoundDirection):
+        if j >= self._base_n:
+            return None
+        return self.inner.bound_row_index(j, direction)
+
+    def pivot_element_indices(self) -> List[Tuple[int, int]]:
+        return self.inner.pivot_element_indices()
+
+    def reconstruct_solution(self, column_values: SparseVector) -> SparseVector:
+        entries = [(i, v) for i, v in column_values if i < self._base_n]
+        return self.inner.reconstruct_solution(
+            SparseVector(entries, self._base_n, _trusted=True)
+        )
+
+
+def _frac(v: Fraction) -> Fraction:
+    return v - math.floor(v)
+
+
+def gomory_mixed_cuts(
+    provider: MatrixProvider,
+    basis: Sequence[int],
+    integer_cols: Set[int],
+    *,
+    max_cuts: int = 8,
+    max_denominator: int = 10**12,
+) -> Tuple[List[Dict[int, Fraction]], List[Fraction]]:
+    """Exact GMI cuts from the fractional integer-basic rows of ``basis``.
+
+    Returns (cuts, rhs) over ``provider``'s columns; empty when the basic
+    solution is integral (or the basis is exactly singular).  Cuts whose
+    coefficients exceed ``max_denominator`` are skipped — exact arithmetic
+    makes monster rationals possible and they densify the float lowering
+    for no practical gain.
+    """
+    m = provider.nr_rows()
+    n = provider.nr_columns()
+    columns = [provider.column(j).entries() for j in basis]
+    try:
+        solver = ExactSolver(columns, peel=False)
+    except ExactSingularError:
+        return [], []
+    x = solver.solve(provider.right_hand_side())
+
+    # Rank fractional integer-basic rows by how central the fraction is.
+    rows = [
+        (abs(_frac(x[i]) - Fraction(1, 2)), i)
+        for i in range(m)
+        if basis[i] in integer_cols and x[i].denominator != 1
+    ]
+    rows.sort()
+
+    in_basis = set(basis)
+    nonbasic = [j for j in range(n) if j not in in_basis]
+    # Nonbasic columns as dense-by-row dicts once (shared across cuts).
+    col_entries = {j: provider.column(j).entries() for j in nonbasic}
+
+    transposed = solver.transposed()
+    cuts: List[Dict[int, Fraction]] = []
+    rhs: List[Fraction] = []
+    for _, i in rows[:max_cuts]:
+        e_i = [Fraction(0)] * m
+        e_i[i] = Fraction(1)
+        try:
+            y = transposed.solve(e_i)  # row i of B^{-1}, exactly
+        except ExactSingularError:
+            continue
+        f0 = _frac(x[i])
+        one_minus = 1 - f0
+        cut: Dict[int, Fraction] = {}
+        ok = True
+        for j in nonbasic:
+            abar = sum((y[r] * v for r, v in col_entries[j]), Fraction(0))
+            if not abar:
+                continue
+            if j in integer_cols:
+                fj = _frac(abar)
+                coef = fj if fj <= f0 else f0 * (1 - fj) / one_minus
+            else:
+                coef = abar if abar > 0 else f0 * (-abar) / one_minus
+            if coef:
+                if coef.denominator > max_denominator:
+                    ok = False
+                    break
+                cut[j] = coef
+        if ok and cut:
+            cuts.append(cut)
+            rhs.append(f0)
+    return cuts, rhs

@@ -70,10 +70,35 @@ def test_mip_branches_to_integer_optimum():
     assert res.certified
     # Standardized minimize sense: max 5x+4y == min -(5x+4y).
     assert res.objective == Fraction(-20)
-    assert res.root_objective == Fraction(-21)
+    # Root bound: -21 for the bare relaxation, tightened toward -20 by the
+    # root GMI cuts (exactly -62/3 with the default cut round).
+    assert Fraction(-21) <= res.root_objective <= Fraction(-20)
     assert res.solution.value_of("x") == 4
     assert res.solution.value_of("y") == 0
     assert res.nodes_solved > 1
+
+
+def test_mip_gomory_cuts_tighten_root_and_prune():
+    """The same MIP with and without root GMI cuts: identical exact optimum,
+    strictly tighter root bound, no more nodes than the cut-free tree."""
+    def build():
+        return _gf(
+            Objective.MAXIMIZE,
+            [[6, 4], [1, 2]],
+            [RangedConstraintRelation.less(), RangedConstraintRelation.less()],
+            [24, 6],
+            [5, 4],
+            [(0, 4), (0, 3)],
+            [VariableType.INTEGER, VariableType.INTEGER],
+        )
+
+    with_cuts = solve_mip(build(), _cfg(), gomory_cuts=8)
+    without = solve_mip(build(), _cfg(), gomory_cuts=0)
+    assert with_cuts.objective == without.objective == Fraction(-20)
+    assert without.root_objective == Fraction(-21)
+    assert with_cuts.root_objective > without.root_objective
+    assert with_cuts.nodes_solved <= without.nodes_solved
+    assert with_cuts.certified and without.certified
 
 
 def test_mip_integral_root_needs_no_branching():
