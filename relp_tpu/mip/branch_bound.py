@@ -4,15 +4,24 @@ Beyond reference scope (the reference's README roadmap lists branch & bound
 as unimplemented; its miplib tests stop at root relaxations,
 /root/reference/tests/miplib/mod.rs:48-72), and TPU-native by construction:
 
-* **Branching never changes the constraint matrix.**  Before lowering, every
-  integer variable gets one redundant ``x' >= 0`` row appended to the
-  ``>=`` group; lower-bound branches tighten that row's rhs and upper-bound
-  branches tighten the variable's bound row, so every B&B node is the SAME
-  standard-form matrix with a different rhs ``[b; u; r]``.
-* **The open-node frontier is therefore a perturbed-rhs scenario family** —
-  exactly what the batched scenario driver solves in lockstep on one chip
-  (``solve_batch(shared_structure=True)``), warm-started from the root
-  optimum by batched dual-simplex pivots (no phase 1 per node).
+* **Branching (almost) never changes the constraint matrix.**  Upper-bound
+  branches tighten the variable's existing bound row — a pure rhs tweak.
+  Lower-bound branches need a ``x'_k >= l`` row; those rows are added
+  *lazily*, only for the handful of variables the tree actually branches
+  below on (as :class:`~relp_tpu.mip.cuts.CutProvider` rows, exactly like
+  root cuts), instead of one row per integer variable upfront — on
+  instances like miplib 50v-10 (1,647 integer variables, ~30 branch
+  variables) the eager design doubled every node LP's row count.
+* **Within a wave the frontier is a perturbed-rhs scenario family** —
+  every node shares base matrix + root cuts + the current branch rows and
+  differs only in rhs, exactly what the batched scenario driver solves in
+  lockstep on one chip (``solve_batch(shared_structure=True)``),
+  dual-simplex warm-restarted from the root optimal basis extended with
+  the branch rows' surplus columns: the extension is block-triangular, so
+  the duals (hence dual feasibility) are exactly preserved and nodes skip
+  both phases.  The matrix changes shape only when a *new* variable is
+  branched below for the first time (``pad_to`` buckets absorb the
+  recompiles on TPU).
 * **Everything is exact.**  Node relaxations are certified rational
   optima (Dixon); bounds, incumbents, pruning comparisons, and integrality
   checks are Fraction arithmetic; INFEASIBLE nodes carry exact Farkas
@@ -39,7 +48,7 @@ from fractions import Fraction
 from typing import List, Optional, Sequence, Tuple
 
 from relp_tpu.config import SolverConfig, default_config
-from relp_tpu.data.elements import RangedConstraintRelation, VariableType
+from relp_tpu.data.elements import VariableType
 from relp_tpu.data.general_form import Active, GeneralForm
 from relp_tpu.data.solution import Solution
 from relp_tpu.simplex.result import OptimizationResult, SolveStatus
@@ -62,6 +71,8 @@ class MipResult:
     node_limit_hit: bool = False
     certified: bool = True
     root_objective: Optional[Fraction] = None
+    #: distinct variables that received a lazy lower-bound branch row
+    branch_vars_used: int = 0
 
 
 @dataclass(order=True)
@@ -104,30 +115,11 @@ def _integer_actives(gf: GeneralForm) -> List[int]:
     return actives
 
 
-def _add_branch_rows(gf: GeneralForm, actives: Sequence[int]) -> List[int]:
-    """Append one redundant ``x'_k >= 0`` row per integer variable (at the
-    end of the ``>=`` group, so the standardize() row grouping is kept) and
-    return the new row indices.  These rows receive lower-bound branches as
-    pure rhs tweaks — the constraint matrix never changes across nodes."""
-    base = gf.nr_constraints()
-    rows = []
-    for t, k in enumerate(actives):
-        row = base + t
-        gf.constraints.columns[k].append((row, Fraction(1)))
-        gf.b.append(Fraction(0))
-        gf.constraint_types.append(RangedConstraintRelation.greater())
-        rows.append(row)
-    gf.constraints.nr_rows = base + len(actives)
-    assert gf.is_consistent()
-    return rows
-
-
-def _node_provider(gf, counts, branch_rows, actives, node: _Node):
-    """MatrixData for one node: shared constraint matrix, node-specific rhs
-    (branch-row b entries + integer-variable upper bounds)."""
+def _node_provider(gf, counts, actives, node: _Node):
+    """MatrixData for one node: shared constraint matrix, node-specific
+    integer-variable upper bounds (rhs-only; lower-bound branch rows are
+    appended by the CutProvider wrapper in ``solve_mip``)."""
     b = list(gf.b)
-    for t, row in enumerate(branch_rows):
-        b[row] = node.lower[t]
     variables = list(gf.variables)
     for t, k in enumerate(actives):
         variables[k] = dataclasses.replace(variables[k], upper_bound=node.upper[t])
@@ -237,17 +229,14 @@ def solve_mip(
             ):
                 return MipResult(SolveStatus.INFEASIBLE)
 
-    counts = list(gf.standardize())
+    counts = tuple(gf.standardize())
     actives = _integer_actives(gf)
-    branch_rows = _add_branch_rows(gf, actives)
-    counts[3] += len(branch_rows)
-    counts = tuple(counts)
 
     # --- root relaxation ---
     root_lower = tuple(Fraction(0) for _ in actives)
     root_upper = tuple(gf.variables[k].upper_bound for k in actives)
     root_node = _Node(Fraction(0), 0, root_lower, root_upper)
-    root_provider = _node_provider(gf, counts, branch_rows, actives, root_node)
+    root_provider = _node_provider(gf, counts, actives, root_node)
     root = solve_relaxation(root_provider, cfg)
     if root.status is SolveStatus.INFEASIBLE:
         return MipResult(SolveStatus.INFEASIBLE, certified=root.stats.certified)
@@ -290,31 +279,52 @@ def solve_mip(
                 else:
                     cuts, cut_rhs = [], []  # numerical trouble: drop cuts
 
-    def wrap(md):
-        if cuts:
-            from relp_tpu.mip.cuts import CutProvider
+    # Lazy branch rows: active-variable t-indices that ever received a
+    # lower-bound branch, in insertion order.  Each becomes one CutProvider
+    # row ``x'_k >= node.lower[t]`` appended after the root cuts; nodes in
+    # a wave share the matrix and differ only in rhs.
+    branch_vars: List[int] = []
+    base_n = root_provider.nr_columns() - len(cuts)  # md columns
+    n_gmi = len(cuts)
 
-            return CutProvider(md, cuts, cut_rhs)
-        return md
+    def wrap(md, node: _Node):
+        if not cuts and not branch_vars:
+            return md
+        from relp_tpu.mip.cuts import CutProvider
 
-    # Warm-start nodes from the root basis only when it matches the node
-    # row count — rank repair on the root shrinks the basis, and fresh node
-    # providers are unfiltered (each node repairs its own rank if needed).
-    warm_basis = root.basis
-    if warm_basis is not None and len(warm_basis) != root_provider.nr_rows():
-        warm_basis = None
+        rows = list(cuts) + [{actives[t]: Fraction(1)} for t in branch_vars]
+        rhs = list(cut_rhs) + [node.lower[t] for t in branch_vars]
+        return CutProvider(md, rows, rhs)
+
+    # Warm-start nodes from the root basis (only when it matches — rank
+    # repair on the root shrinks the basis, and fresh node providers are
+    # unfiltered) extended with the branch rows' surplus columns: the
+    # extended basis is block-triangular over the root basis, so its duals
+    # — hence dual feasibility — are exactly those of the root optimum, and
+    # the batched dual simplex restores primal feasibility per node.
+    root_basis = root.basis
+    if root_basis is not None and len(root_basis) != root_provider.nr_rows():
+        root_basis = None
+
+    def wave_warm_basis():
+        if root_basis is None:
+            return None
+        return list(root_basis) + [
+            base_n + n_gmi + j for j in range(len(branch_vars))
+        ]
 
     result = MipResult(SolveStatus.FINITE_OPTIMUM)
     result.root_objective = root.exact_objective
     result.certified = bool(root.stats.certified)
     incumbent_obj: Optional[Fraction] = None
     incumbent_reduced = None
+    incumbent_provider = None
     seq = 1
     heap: List[_Node] = []
 
     def consider(node: _Node, res: OptimizationResult, provider) -> None:
         """Prune / accept / branch one solved node."""
-        nonlocal incumbent_obj, incumbent_reduced, seq
+        nonlocal incumbent_obj, incumbent_reduced, incumbent_provider, seq
         if res.status is SolveStatus.INFEASIBLE:
             result.nodes_pruned += 1
             return
@@ -359,6 +369,7 @@ def solve_mip(
                 if reduced is None:
                     reduced = res.bfs
                 incumbent_reduced = copy.deepcopy(reduced)
+                incumbent_provider = provider
                 result.objective = incumbent_obj
             return
         # Most-fractional branching: fractional part closest to 1/2.
@@ -376,6 +387,10 @@ def solve_mip(
             upper = list(node.upper)
             if kind == "lb":
                 lower[t] = max(lower[t], max(val, Fraction(0)))
+                if lower[t] > 0 and t not in branch_vars:
+                    # First lower-bound branch on this variable: it gets a
+                    # lazy branch row in every subsequent wave's wrapper.
+                    branch_vars.append(t)
             else:
                 upper[t] = min(upper[t], val)
             if upper[t] < lower[t] or upper[t] < 0:
@@ -405,9 +420,9 @@ def solve_mip(
         if not wave:
             break
         providers = [
-            wrap(_node_provider(gf, counts, branch_rows, actives, n))
-            for n in wave
+            wrap(_node_provider(gf, counts, actives, n), n) for n in wave
         ]
+        warm_basis = wave_warm_basis()
         if len(providers) == 1:
             solved = [
                 solve_relaxation(
@@ -427,6 +442,7 @@ def solve_mip(
         result.nodes_solved += len(wave)
 
     result.node_limit_hit = bool(heap) and result.nodes_solved >= node_limit
+    result.branch_vars_used = len(branch_vars)
     if incumbent_obj is None:
         if result.node_limit_hit:
             return dataclasses.replace(
@@ -441,7 +457,7 @@ def solve_mip(
     # The incumbent is exactly optimal only if the tree was exhausted.
     if result.node_limit_hit:
         result.certified = False
-    reduced = root_provider.reconstruct_solution(incumbent_reduced)
+    reduced = incumbent_provider.reconstruct_solution(incumbent_reduced)
     result.solution = gf.compute_full_solution_with_reduced_solution(reduced)
     result.objective = incumbent_obj
     return result

@@ -187,6 +187,65 @@ def test_mip_knapsack_matches_brute_force():
     assert sum(v * p for v, p in zip(values, picked)) == best
 
 
+def test_mip_general_integers_match_brute_force():
+    """10 general-integer variables (0..2), 3 knapsack rows: the certified
+    B&B optimum equals exhaustive enumeration (3^10 points), and the lazy
+    branch-row mechanism materializes rows for only a few variables."""
+    rng_c = [7, 2, 9, 4, 8, 3, 6, 5, 1, 10]
+    rows = [
+        [3, 1, 4, 1, 5, 2, 6, 2, 1, 3],
+        [1, 2, 2, 3, 1, 4, 1, 2, 3, 2],
+        [2, 3, 1, 2, 2, 1, 3, 1, 2, 4],
+    ]
+    caps = [17, 11, 13]
+    best = max(
+        sum(c * x for c, x in zip(rng_c, point))
+        for point in itertools.product([0, 1, 2], repeat=10)
+        if all(
+            sum(a * x for a, x in zip(row, point)) <= cap
+            for row, cap in zip(rows, caps)
+        )
+    )
+    gf = _gf(
+        Objective.MAXIMIZE,
+        rows,
+        [RangedConstraintRelation.less()] * 3,
+        caps,
+        rng_c,
+        [(0, 2)] * 10,
+        [VariableType.INTEGER] * 10,
+    )
+    res = solve_mip(gf, _cfg(), batch_width=8)
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.certified
+    assert res.objective == -best
+    point = [res.solution.value_of(f"x{j}") for j in range(10)]
+    assert all(v in (0, 1, 2) for v in point)
+    assert all(
+        sum(a * x for a, x in zip(row, point)) <= cap
+        for row, cap in zip(rows, caps)
+    )
+    # Cut-free run: forces real branching; lazy rows materialize for far
+    # fewer variables than the 10 integers, and the optimum agrees.
+    res0 = solve_mip(
+        _gf(
+            Objective.MAXIMIZE,
+            rows,
+            [RangedConstraintRelation.less()] * 3,
+            caps,
+            rng_c,
+            [(0, 2)] * 10,
+            [VariableType.INTEGER] * 10,
+        ),
+        _cfg(),
+        batch_width=8,
+        gomory_cuts=0,
+    )
+    assert res0.certified and res0.objective == -best
+    assert res0.nodes_solved > 1
+    assert 0 < res0.branch_vars_used < 10
+
+
 def test_mip_rejects_unbounded_integer():
     gf = _gf(
         Objective.MINIMIZE,
