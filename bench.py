@@ -20,12 +20,54 @@ vs_baseline = measured / 1000.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
 RELP_PROXY_ITERS_PER_S = 1000.0
+
+# Watchdog: the axon tunnel can stall indefinitely (observed: jax.devices()
+# hanging for minutes during a pool outage).  Sections publish partial
+# results as they complete; on SIGALRM whatever is measured so far is
+# printed as the one JSON line instead of nothing.
+BENCH_DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "480"))
+_PARTIAL = {}
+
+
+def _emit(result):
+    print(json.dumps(result))
+    sys.stdout.flush()
+
+
+def _result_from_partial(partial, *, timed_out):
+    per_f32 = partial.get("per_f32")
+    value = 1.0 / per_f32 if per_f32 else 0.0
+    detail = dict(partial.get("detail", {}))
+    if timed_out:
+        detail["timed_out"] = f"watchdog at {BENCH_DEADLINE_S}s; partial sections"
+    return {
+        "metric": "simplex_iterations_per_s",
+        "value": round(value, 1),
+        "unit": "iter/s",
+        "vs_baseline": round(value / RELP_PROXY_ITERS_PER_S, 2),
+        "detail": detail,
+    }
+
+
+def _watchdog(signum, frame):  # noqa: ARG001
+    _emit(_result_from_partial(_PARTIAL, timed_out=True))
+    os._exit(0)
+
+
+def _note(msg):
+    print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr)
+    sys.stderr.flush()
+
+
+_T0 = time.time()
 
 # Per-PROCESS entropy folded into every timed dispatch: the axon tunnel's
 # dispatch cache is keyed on (program, inputs) and persists ACROSS processes,
@@ -99,6 +141,9 @@ def _measure(kernels, state0, A_scan, A_full, c, cand, pricing, chunks=(10, 300)
 
 
 def main():
+    signal.signal(signal.SIGALRM, _watchdog)
+    signal.alarm(BENCH_DEADLINE_S)
+
     import jax
 
     jax.config.update("jax_enable_x64", True)
@@ -108,7 +153,12 @@ def main():
     from relp_tpu.simplex import kernels
 
     m, n = 1024, 4096
-    results = {}
+    detail = _PARTIAL.setdefault("detail", {})
+    detail["problem"] = f"dense {m}x{n} standard form + {m} artificials"
+    detail["pricing"] = "steepest-edge"
+    detail["methodology"] = "marginal chunk differencing (10 vs 300 pivots)"
+    _note(f"devices: {jax.devices()}")
+    detail["device"] = str(jax.devices()[0])
 
     # --- fast path: f32 carry + f32 scans ---
     A, b, c1, c2, cand, basis = _synthetic_problem(
@@ -125,6 +175,11 @@ def main():
         jnp.asarray(cand),
         kernels.PRICE_STEEPEST,
     )
+    _PARTIAL["per_f32"] = per_f32
+    detail["fast_path_f32_ms_per_iter"] = (
+        round(per_f32 * 1e3, 4) if per_f32 else None
+    )
+    _note(f"f32 section done: {detail['fast_path_f32_ms_per_iter']} ms/iter")
 
     # --- robust path: f64 carry + f32 scans ---
     A64, b64, c164, c264, cand64, basis64 = _synthetic_problem(
@@ -141,6 +196,10 @@ def main():
         jnp.asarray(cand64),
         kernels.PRICE_STEEPEST,
     )
+    detail["robust_path_f64_carry_iters_per_s"] = (
+        round(1.0 / per_f64, 1) if per_f64 else None
+    )
+    _note(f"f64 section done: {detail['robust_path_f64_carry_iters_per_s']} it/s")
 
     # --- df32 carry: compensated two-f32 (the escalation rung that
     # replaces emulated f64 for drift-prone instances) ---
@@ -173,6 +232,10 @@ def main():
         jnp.asarray(cand64),
         kernels.PRICE_STEEPEST,
     )
+    detail["df32_carry_iters_per_s"] = (
+        round(1.0 / per_df, 1) if per_df else None
+    )
+    _note(f"df32 section done: {detail['df32_carry_iters_per_s']} it/s")
 
     # --- scenario batch: 64 perturbed LPs in lockstep (dp analog) ---
     from relp_tpu.parallel.batch import (
@@ -259,42 +322,23 @@ def main():
             batch_per_pivot = None
     except Exception:  # noqa: BLE001 — batch metric is best-effort detail
         batch_per_pivot = None
+    _note(f"megakernel section done: {batch_per_pivot}")
     try:
         batch_xla_per_pivot = measure_batch(run_batch_xla)
     except Exception:  # noqa: BLE001
         batch_xla_per_pivot = None
+    _note(f"batch-xla section done: {batch_xla_per_pivot}")
     if batch_per_pivot is None:
         batch_per_pivot = batch_xla_per_pivot
 
-    value = 1.0 / per_f32 if per_f32 else 0.0
-    result = {
-        "metric": "simplex_iterations_per_s",
-        "value": round(value, 1),
-        "unit": "iter/s",
-        "vs_baseline": round(value / RELP_PROXY_ITERS_PER_S, 2),
-        "detail": {
-            "problem": f"dense {m}x{n} standard form + {m} artificials",
-            "pricing": "steepest-edge",
-            "fast_path_f32_ms_per_iter": round(per_f32 * 1e3, 4) if per_f32 else None,
-            "robust_path_f64_carry_iters_per_s": (
-                round(1.0 / per_f64, 1) if per_f64 else None
-            ),
-            "df32_carry_iters_per_s": (
-                round(1.0 / per_df, 1) if per_df else None
-            ),
-            "batched_64x_m256_pivots_per_s": (
-                round(1.0 / batch_per_pivot, 1) if batch_per_pivot else None
-            ),
-            "batched_64x_m256_xla_pivots_per_s": (
-                round(1.0 / batch_xla_per_pivot, 1)
-                if batch_xla_per_pivot
-                else None
-            ),
-            "methodology": "marginal chunk differencing (10 vs 300 pivots)",
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    detail["batched_64x_m256_pivots_per_s"] = (
+        round(1.0 / batch_per_pivot, 1) if batch_per_pivot else None
+    )
+    detail["batched_64x_m256_xla_pivots_per_s"] = (
+        round(1.0 / batch_xla_per_pivot, 1) if batch_xla_per_pivot else None
+    )
+    signal.alarm(0)
+    _emit(_result_from_partial(_PARTIAL, timed_out=False))
 
 
 if __name__ == "__main__":
