@@ -165,16 +165,18 @@ class GeneralForm:
 
     # --- presolve (delegates to relp_tpu.data.presolve) ---
 
-    def presolve(self) -> None:
+    def presolve(self, mip_safe: bool = False) -> None:
         """Apply the presolve fixpoint in place.
 
         Raises :class:`LinearProgramError` carrying a full :class:`Solution`
         if the problem is completely solved by presolve, or an
         infeasible/unbounded verdict (reference: general_form/mod.rs:351-375).
+        ``mip_safe`` restricts to integer-hull-preserving rules
+        (:func:`relp_tpu.data.presolve.index.compute_presolve_changes`).
         """
         from relp_tpu.data.presolve import presolve as _presolve
 
-        _presolve(self)
+        _presolve(self, mip_safe=mip_safe)
 
     # --- prescaling (reference: Scalable, presolve/scale/mod.rs:21-51) ---
 

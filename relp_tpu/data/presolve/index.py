@@ -56,10 +56,11 @@ def is_empty_constraint_feasible(
 
 
 class Index:
-    def __init__(self, general_form: GeneralForm):
+    def __init__(self, general_form: GeneralForm, mip_safe: bool = False):
         self.gf = general_form
+        self.mip_safe = mip_safe
         self.counters = Counters(general_form)
-        self.updates = Updates(general_form, self.counters)
+        self.updates = Updates(general_form, self.counters, mip_safe=mip_safe)
         self.queues = Queues()
 
         # Seed the queues (reference: queues.rs:100-140).
@@ -75,11 +76,29 @@ class Index:
                 if upper_missing <= 1:
                     self.queues.activity.push((i, BoundDirection.UPPER))
         for j, count in enumerate(self.counters.variable):
-            if count == 1 and self.gf.variables[j].cost == 0:
+            if (
+                count == 1
+                and self.gf.variables[j].cost == 0
+                and not self._slack_is_mip_unsafe(j)
+            ):
                 self.queues.slack.push(j)
         for j, variable in enumerate(self.gf.variables):
             if self.counters.variable[j] > 0 and variable.is_fixed() is not None:
                 self.queues.substitution.push(j)
+
+    def _slack_is_mip_unsafe(self, variable: int) -> bool:
+        """In mip_safe mode, slack elimination of an INTEGER variable is
+        gated: the removed column's value is reconstructed as a linear
+        function of the other row entries (or pinned at a bound while the
+        row is relaxed over its continuous range), which need not be
+        integral — eliminating it would relax integrality."""
+        if not self.mip_safe:
+            return False
+        from relp_tpu.data.elements import VariableType
+
+        return (
+            self.gf.variables[variable].variable_type is VariableType.INTEGER
+        )
 
     # --- the step (reference: presolve_step, rule priority order) ---
 
@@ -189,7 +208,11 @@ class Index:
             else:
                 value = self.updates.optimize_column_independently(variable)
             self.remove_variable(variable, value)
-        elif count == 1 and self.gf.variables[variable].cost == 0:
+        elif (
+            count == 1
+            and self.gf.variables[variable].cost == 0
+            and not self._slack_is_mip_unsafe(variable)
+        ):
             self.queues.slack.push(variable)
 
     def queue_constraint_by_counter(self, constraint: int) -> Change:
@@ -218,10 +241,17 @@ class Index:
         return self.queues.are_empty()
 
 
-def compute_presolve_changes(general_form: GeneralForm):
+def compute_presolve_changes(general_form: GeneralForm, mip_safe: bool = False):
     """Run the fixpoint and return the Changes batch
-    (reference: compute_presolve_changes, general_form/mod.rs:386-409)."""
-    index = Index(general_form)
+    (reference: compute_presolve_changes, general_form/mod.rs:386-409).
+
+    ``mip_safe`` restricts the rules to transformations valid for the
+    *integer hull* (beyond reference scope — the reference has no MIP
+    presolve): integer bounds round inward, integer slacks are never
+    eliminated, and an integer variable fixed at a fractional value is
+    INFEASIBLE.
+    """
+    index = Index(general_form, mip_safe=mip_safe)
 
     iterations_without_meaningful_change = 0
     while not index.are_queues_empty() and iterations_without_meaningful_change < (
@@ -237,14 +267,15 @@ def compute_presolve_changes(general_form: GeneralForm):
     return index.updates.into_changes()
 
 
-def presolve(general_form: GeneralForm) -> None:
+def presolve(general_form: GeneralForm, mip_safe: bool = False) -> None:
     """Presolve in place (reference: GeneralForm::presolve).
 
     Raises :class:`LinearProgramError` with FINITE_OPTIMUM and a full
     :class:`Solution` payload if presolve solves the problem entirely, or with
-    an INFEASIBLE / UNBOUNDED verdict.
+    an INFEASIBLE / UNBOUNDED verdict.  ``mip_safe``: see
+    :func:`compute_presolve_changes`.
     """
-    changes = compute_presolve_changes(general_form)
+    changes = compute_presolve_changes(general_form, mip_safe=mip_safe)
     gf = general_form
 
     variable_indices_only = [j for j, _ in changes.removed_variables]

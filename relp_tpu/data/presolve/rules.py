@@ -30,6 +30,14 @@ from relp_tpu.numbers.rational import sign
 def presolve_fixed_variable(index: Index, variable: int) -> None:
     value = index.updates.is_variable_fixed(variable)
     assert value is not None
+    if index.updates.mip_safe and value.denominator != 1:
+        from relp_tpu.data.elements import VariableType
+
+        if index.gf.variables[variable].variable_type is VariableType.INTEGER:
+            # An integer variable pinned at a fractional value: the integer
+            # hull is empty (cannot happen once all bounds are rounded, but
+            # original fractional fixed bounds reach here directly).
+            raise LinearProgramError(LPStatus.INFEASIBLE)
 
     for constraint, coefficient in index.counters.iter_active_column(variable):
         index.updates.change_b(constraint, -coefficient * value)

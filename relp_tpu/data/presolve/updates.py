@@ -20,6 +20,7 @@ from relp_tpu.data.elements import (
     Objective,
     RangedConstraintRelation,
     RangedKind,
+    VariableType,
 )
 from relp_tpu.data.general_form import (
     FunctionOfOthers,
@@ -97,8 +98,15 @@ class Changes:
 
 
 class Updates:
-    def __init__(self, general_form: GeneralForm, counters) -> None:
+    def __init__(
+        self, general_form: GeneralForm, counters, mip_safe: bool = False
+    ) -> None:
         self.gf = general_form
+        #: MIP-safe mode: every new/tightened bound on an INTEGER variable
+        #: is rounded inward (ceil for LOWER, floor for UPPER) — valid for
+        #: the integer hull and strictly stronger than LP propagation
+        #: (Achterberg 2007, alg. 7.1's integer case).
+        self.mip_safe = mip_safe
         self.b: Dict[int, Fraction] = {}
         self.constraints: Dict[int, RangedConstraintRelation] = {}
         self.fixed_cost = Fraction(0)
@@ -225,6 +233,24 @@ class Updates:
     def _is_tighter(direction: BoundDirection, new: Fraction, old: Fraction) -> bool:
         return new > old if direction is BoundDirection.LOWER else new < old
 
+    def _mip_round(
+        self, j: int, direction: BoundDirection, new: Fraction
+    ) -> Fraction:
+        """Round a proposed bound on an integer variable inward (mip_safe)."""
+        if (
+            self.mip_safe
+            and new.denominator != 1
+            and self.gf.variables[j].variable_type is VariableType.INTEGER
+        ):
+            import math
+
+            return Fraction(
+                math.ceil(new)
+                if direction is BoundDirection.LOWER
+                else math.floor(new)
+            )
+        return new
+
     def update_bound(
         self, j: int, direction: BoundDirection, new: Fraction
     ) -> BoundChange:
@@ -233,6 +259,7 @@ class Updates:
         An activity-derived bound for the same (variable, direction) is
         promoted to permanent first (reference: update_bound).
         """
+        new = self._mip_round(j, direction, new)
         key = (j, direction)
         if key not in self.bounds:
             if key in self.activity_bounds:
@@ -264,6 +291,7 @@ class Updates:
         self, j: int, direction: BoundDirection, new: Fraction
     ) -> BoundChange:
         """Update an *activity-derived* bound (exported only when useful)."""
+        new = self._mip_round(j, direction, new)
         key = (j, direction)
         if key in self.activity_bounds:
             existing = self.activity_bounds[key]

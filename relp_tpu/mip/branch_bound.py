@@ -27,15 +27,19 @@ as unimplemented; its miplib tests stop at root relaxations,
   checks are Fraction arithmetic; INFEASIBLE nodes carry exact Farkas
   certificates through the single-LP fallback.
 
+* **MIP-safe presolve** runs first (``GeneralForm.presolve(mip_safe=True)``):
+  the LP presolve fixpoint restricted to integer-hull-preserving rules —
+  every derived bound on an integer variable rounds inward (ceil/floor,
+  strictly stronger than LP propagation; Achterberg 2007 alg. 7.1's integer
+  case), the slack rule never eliminates an integer column (its
+  reconstructed value need not be integral), and an integer variable fixed
+  at a fractional value is INFEASIBLE.
+
 v1 scope (documented limits, checked with clear errors):
 
 * every integer variable must have finite lower AND upper bounds (so its
   bound row exists in the standard form at every node);
-* free integer variables (split as x+ - x-) are not supported;
-* GeneralForm presolve is NOT applied: the presolve rules are LP-exact but
-  not all are MIP-safe (e.g. a column-singleton substitution may eliminate
-  an integer variable at a fractional value).  MIP-safe presolve is future
-  work.
+* free integer variables (split as x+ - x-) are not supported.
 """
 
 from __future__ import annotations
@@ -229,6 +233,41 @@ def solve_mip(
             ):
                 return MipResult(SolveStatus.INFEASIBLE)
 
+    # MIP-safe presolve (beyond reference scope): the LP presolve fixpoint
+    # restricted to integer-hull-preserving rules — integer bounds round
+    # inward (strictly stronger than LP propagation), integer slacks are
+    # never eliminated, fractional-fixed integers are INFEASIBLE.
+    if cfg.presolve:
+        from relp_tpu.data.elements import LinearProgramError, LPStatus
+
+        try:
+            gf.presolve(mip_safe=True)
+        except LinearProgramError as exc:
+            if exc.status is LPStatus.FINITE_OPTIMUM:
+                # Presolve solved the MIP outright; every removed integer
+                # variable was pinned at an integral value (rounded bounds,
+                # gated slack rule), so the LP verdict is the MIP verdict.
+                # The payload objective is in the ORIGINAL sense (presolve
+                # runs before standardization); MipResult reports the
+                # standardized MINIMIZE sense.
+                from relp_tpu.data.elements import Objective
+
+                sol = exc.payload
+                obj = sol.objective_value
+                if gf.objective is Objective.MAXIMIZE:
+                    obj = -obj
+                return MipResult(
+                    SolveStatus.FINITE_OPTIMUM,
+                    objective=obj,
+                    solution=sol,
+                    nodes_solved=0,
+                    certified=True,
+                    root_objective=obj,
+                )
+            if exc.status is LPStatus.INFEASIBLE:
+                return MipResult(SolveStatus.INFEASIBLE)
+            return MipResult(SolveStatus.UNBOUNDED)
+
     counts = tuple(gf.standardize())
     actives = _integer_actives(gf)
 
@@ -314,7 +353,13 @@ def solve_mip(
         ]
 
     result = MipResult(SolveStatus.FINITE_OPTIMUM)
-    result.root_objective = root.exact_objective
+    # Reported objectives include gf.fixed_cost (accrued by presolve's
+    # removed variables and standardization's bound shifts); node-LP bounds
+    # and the incumbent comparisons all share that constant, so pruning
+    # stays on the raw LP objectives.
+    fixed_cost = gf.fixed_cost
+    if root.exact_objective is not None:
+        result.root_objective = root.exact_objective + fixed_cost
     result.certified = bool(root.stats.certified)
     incumbent_obj: Optional[Fraction] = None
     incumbent_reduced = None
@@ -370,7 +415,7 @@ def solve_mip(
                     reduced = res.bfs
                 incumbent_reduced = copy.deepcopy(reduced)
                 incumbent_provider = provider
-                result.objective = incumbent_obj
+                result.objective = incumbent_obj + fixed_cost
             return
         # Most-fractional branching: fractional part closest to 1/2.
         import math
@@ -459,5 +504,6 @@ def solve_mip(
         result.certified = False
     reduced = incumbent_provider.reconstruct_solution(incumbent_reduced)
     result.solution = gf.compute_full_solution_with_reduced_solution(reduced)
-    result.objective = incumbent_obj
+    result.objective = result.solution.objective_value
+    assert result.objective == incumbent_obj + fixed_cost
     return result

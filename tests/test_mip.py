@@ -101,8 +101,8 @@ def test_mip_gomory_cuts_tighten_root_and_prune():
     assert with_cuts.certified and without.certified
 
 
-def test_mip_integral_root_needs_no_branching():
-    gf = _gf(
+def _integral_root_gf():
+    return _gf(
         Objective.MAXIMIZE,
         [[1, 1]],
         [RangedConstraintRelation.less()],
@@ -111,7 +111,26 @@ def test_mip_integral_root_needs_no_branching():
         [(0, 2), (0, 2)],
         [VariableType.INTEGER, VariableType.INTEGER],
     )
-    res = solve_mip(gf, _cfg())
+
+
+def test_mip_presolve_solves_forced_constraint_outright():
+    """max x+y, x+y<=4, x,y in [0,2]: the upper activity bound meets the rhs,
+    so MIP-safe presolve removes the row and fixes both variables at their
+    (integral) upper bounds — zero B&B nodes, exact answer, minimize-sense
+    objective."""
+    res = solve_mip(_integral_root_gf(), _cfg())
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.objective == Fraction(-4)
+    assert res.nodes_solved == 0
+    assert res.certified
+    assert res.solution.value_of("x0") == 2
+    assert res.solution.value_of("x1") == 2
+
+
+def test_mip_integral_root_needs_no_branching():
+    """Same model with presolve off: the root relaxation lands integral and
+    B&B stops after the single root node."""
+    res = solve_mip(_integral_root_gf(), _cfg(presolve=False))
     assert res.status is SolveStatus.FINITE_OPTIMUM
     assert res.objective == Fraction(-4)
     assert res.nodes_solved == 1
@@ -246,7 +265,74 @@ def test_mip_general_integers_match_brute_force():
     assert 0 < res0.branch_vars_used < 10
 
 
-def test_mip_rejects_unbounded_integer():
+def test_mip_presolve_rounds_derived_bounds_to_infeasibility():
+    """Singleton RANGE row 5 <= 10x <= 8 gives x in [1/2, 4/5]; MIP-safe
+    rounding (ceil/floor) empties the integer window during presolve. The
+    LP relaxation is feasible, so only the rounding can conclude this."""
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[10, 0], [0, 1]],
+        [RangedConstraintRelation.ranged(3), RangedConstraintRelation.less()],
+        [8, 9],
+        [1, 1],
+        [(0, 3), (0, 9)],
+        [VariableType.INTEGER, VariableType.CONTINUOUS],
+    )
+    # Row 0 touches only x0 (the x1 coefficient is 0 and dropped by the
+    # sparse builder), so the singleton rule fires on it.
+    res = solve_mip(gf, _cfg())
+    assert res.status is SolveStatus.INFEASIBLE
+
+
+def test_mip_presolve_keeps_integer_slack_column():
+    """min -y, x + 2y = 3, x integer in [0,3] with cost 0, y in [0, 7/5].
+    LP slack elimination would remove x as (3 - 2y) and report y = 7/5 with
+    x = 1/5 — fractional.  The MIP-safe gate keeps the integer column and
+    B&B lands on x = 1, y = 1."""
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, 2]],
+        [RangedConstraintRelation.equal()],
+        [3],
+        [0, -1],
+        [(0, 3), (0, Fraction(7, 5))],
+        [VariableType.INTEGER, VariableType.CONTINUOUS],
+        names=["x", "y"],
+    )
+    res = solve_mip(gf, _cfg())
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.certified
+    assert res.objective == Fraction(-1)
+    assert res.solution.value_of("x") == 1
+    assert res.solution.value_of("y") == 1
+
+
+def test_mip_objective_includes_shift_fixed_cost():
+    """Nonzero integer lower bounds shift into fixed_cost at standardization;
+    the reported minimize-sense objective must include it.  min x + y,
+    x + y >= 7/2, x, y integer in [2, 5] -> optimum 4 (LP bound 4 too after
+    activity rounding -- force B&B off presolve with a second row)."""
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, 1], [1, -1]],
+        [RangedConstraintRelation.greater(), RangedConstraintRelation.less()],
+        [Fraction(7, 2), 3],
+        [1, 1],
+        [(2, 5), (2, 5)],
+        [VariableType.INTEGER, VariableType.INTEGER],
+        names=["x", "y"],
+    )
+    res = solve_mip(gf, _cfg())
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.certified
+    assert res.objective == Fraction(4)
+    assert res.solution.value_of("x") + res.solution.value_of("y") == 4
+
+
+def test_mip_presolve_closes_singleton_unbounded_integer():
+    """min x, x >= 1, x integer with no upper bound: the MIP-safe presolve
+    removes the singleton row and optimizes the then-independent column at
+    its (integral) lower bound — no B&B, no finite-upper-bound requirement."""
     gf = _gf(
         Objective.MINIMIZE,
         [[1]],
@@ -255,6 +341,25 @@ def test_mip_rejects_unbounded_integer():
         [1],
         [(0, None)],
         [VariableType.INTEGER],
+    )
+    res = solve_mip(gf, _cfg())
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.objective == Fraction(1)
+    assert res.nodes_solved == 0  # solved entirely in presolve
+    assert res.solution.value_of("x0") == 1
+
+
+def test_mip_rejects_unbounded_integer():
+    """An upper-unbounded integer that *survives* presolve (two rows keep it
+    from the singleton rule) still fails fast with a clear error."""
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, 1], [1, -1]],
+        [RangedConstraintRelation.greater(), RangedConstraintRelation.less()],
+        [1, 5],
+        [1, 1],
+        [(0, None), (0, 9)],
+        [VariableType.INTEGER, VariableType.INTEGER],
     )
     with pytest.raises(NotImplementedError):
         solve_mip(gf, _cfg())
