@@ -268,3 +268,24 @@ def test_domain_propagation_screen_differential(name):
         rules.SCREEN_ENABLED = True
 
     assert _gf_state(gf_screened) == _gf_state(gf_exact)
+
+
+@pytest.mark.parametrize("name", ["ADLITTLE.SIF", "BRANDY.SIF", "E226.SIF"])
+def test_mip_safe_presolve_identical_on_continuous_lps(name):
+    """mip_safe presolve only changes behavior for INTEGER variables: on a
+    purely continuous LP it must produce a bit-identical GeneralForm (the
+    rounding helper and slack gate are no-ops for CONTINUOUS)."""
+    from conftest import reference_problem
+    from relp_tpu.io import mps_to_general_form, parse_fixed
+
+    path = reference_problem("netlib", name)
+    with open(path) as f:
+        text = f.read()
+
+    gf_lp = mps_to_general_form(parse_fixed(text))
+    gf_mip = mps_to_general_form(parse_fixed(text))
+
+    gf_lp.presolve()
+    gf_mip.presolve(mip_safe=True)
+
+    assert _gf_state(gf_lp) == _gf_state(gf_mip)
