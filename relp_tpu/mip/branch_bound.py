@@ -92,6 +92,13 @@ class _Node:
     lower: Tuple[Fraction, ...] = dataclasses.field(compare=False)
     upper: Tuple[Fraction, ...] = dataclasses.field(compare=False)
     bound_exact: bool = dataclasses.field(compare=False, default=True)
+    # Pseudocost bookkeeping: which branching created this node (t-index
+    # into actives, up = ceil side), the parent's fractional part at the
+    # branch variable, and the parent's (float) bound.
+    branch_t: Optional[int] = dataclasses.field(compare=False, default=None)
+    branch_up: bool = dataclasses.field(compare=False, default=False)
+    branch_frac: float = dataclasses.field(compare=False, default=0.0)
+    parent_bound_f: float = dataclasses.field(compare=False, default=0.0)
 
 
 def _integer_actives(gf: GeneralForm) -> List[int]:
@@ -197,6 +204,8 @@ def solve_mip(
     batch_width: int = 16,
     node_limit: int = 10_000,
     gomory_cuts: int = 8,
+    cut_rounds: int = 4,
+    branching: str = "pseudocost",
 ) -> MipResult:
     """Exact branch & bound on a GeneralForm with integer variables.
 
@@ -206,14 +215,25 @@ def solve_mip(
     the root optimal basis.  With no integer variables this degenerates to
     one exact LP solve.
 
-    ``gomory_cuts`` > 0 adds one round of up to that many exact Gomory
-    mixed-integer cuts at the root (relp_tpu.mip.cuts) before branching —
-    globally valid inequalities, so every node shares the augmented matrix.
+    ``gomory_cuts`` > 0 adds up to ``cut_rounds`` rounds of up to that many
+    exact Gomory mixed-integer cuts at the root (relp_tpu.mip.cuts) before
+    branching — globally valid inequalities, so every node shares the
+    augmented matrix.  Rounds stop when the root turns integral, the exact
+    bound stalls, or no new cuts separate.
+
+    ``branching``: "pseudocost" (default) scores candidates by the product
+    of observed per-unit objective degradations from past branchings
+    (uninitialized pseudocosts are 1, so the rule starts as most-fractional
+    and sharpens as the tree supplies data); "most_fractional" keeps the
+    pure fractional-part rule.
     """
     from relp_tpu.parallel.batch_driver import solve_batch
     from relp_tpu.simplex.driver import solve_relaxation
 
     import math
+
+    if branching not in ("pseudocost", "most_fractional"):
+        raise ValueError(f"unknown branching rule {branching!r}")
 
     cfg = config or default_config()
     cfg = dataclasses.replace(cfg, certify=True)
@@ -284,46 +304,69 @@ def solve_mip(
     if not root.is_optimal():
         return MipResult(root.status, certified=False)
 
-    # --- one round of exact root GMI cuts (globally valid: shared by every
-    # node, so the frontier stays a perturbed-rhs family of ONE matrix) ---
+    # --- root GMI cut rounds (globally valid: shared by every node, so the
+    # frontier stays a perturbed-rhs family of ONE flat matrix).  Later
+    # rounds derive cuts on the cut-augmented tableau; coefficients landing
+    # on earlier surplus columns are substituted out exactly
+    # (flatten_cut_over_base), keeping a single flat CutProvider. ---
     cuts: list = []
     cut_rhs: list = []
+    base_md = root_provider  # the pre-cut node MatrixData
+    base_n = base_md.nr_columns()
     if gomory_cuts > 0:
-        root_vals = _exact_values(root, root_provider, gf, actives)
-        if root_vals is not None and any(
-            v.denominator != 1 for v in root_vals
-        ):
-            from relp_tpu.mip.cuts import CutProvider, gomory_mixed_cuts
+        from relp_tpu.mip.cuts import (
+            CutProvider,
+            flatten_cut_over_base,
+            gomory_mixed_cuts,
+        )
 
+        for _round in range(cut_rounds):
+            root_vals = _exact_values(root, root_provider, gf, actives)
+            if root_vals is None or all(
+                v.denominator == 1 for v in root_vals
+            ):
+                break
             # root.basis indexes the provider the driver actually solved —
             # after rank repair that is a RemoveRows view with fewer rows.
             # RemoveRows keeps column indices, so cuts derived on it are
             # valid over the unfiltered node matrices.
             basis_provider = getattr(root, "provider", root_provider)
-            cuts, cut_rhs = gomory_mixed_cuts(
+            new_cuts, new_rhs = gomory_mixed_cuts(
                 basis_provider, root.basis, set(actives), max_cuts=gomory_cuts
             )
-            if cuts:
-                cut_provider = CutProvider(root_provider, cuts, cut_rhs)
-                cut_root = solve_relaxation(cut_provider, cfg)
-                if cut_root.status is SolveStatus.INFEASIBLE:
-                    # Valid inequalities never cut an integer point: the
-                    # MIP is infeasible.
-                    return MipResult(
-                        SolveStatus.INFEASIBLE,
-                        certified=cut_root.stats.certified,
-                    )
-                if cut_root.is_optimal():
-                    root_provider, root = cut_provider, cut_root
-                else:
-                    cuts, cut_rhs = [], []  # numerical trouble: drop cuts
+            flat = [
+                flatten_cut_over_base(c, r, base_n, cuts, cut_rhs)
+                for c, r in zip(new_cuts, new_rhs)
+            ]
+            trial_cuts = cuts + [c for c, _ in flat if c]
+            trial_rhs = cut_rhs + [r for c, r in flat if c]
+            if len(trial_cuts) == len(cuts):
+                break
+            cut_provider = CutProvider(base_md, trial_cuts, trial_rhs)
+            cut_root = solve_relaxation(cut_provider, cfg)
+            if cut_root.status is SolveStatus.INFEASIBLE:
+                # Valid inequalities never cut an integer point: the MIP
+                # is infeasible.
+                return MipResult(
+                    SolveStatus.INFEASIBLE,
+                    certified=cut_root.stats.certified,
+                )
+            if not cut_root.is_optimal():
+                break  # numerical trouble: keep the last good round only
+            improved = cut_root.exact_objective is not None and (
+                root.exact_objective is None
+                or cut_root.exact_objective > root.exact_objective
+            )
+            root_provider, root = cut_provider, cut_root
+            cuts, cut_rhs = trial_cuts, trial_rhs
+            if not improved:
+                break  # bound stalled: keep this round's cuts but stop
 
     # Lazy branch rows: active-variable t-indices that ever received a
     # lower-bound branch, in insertion order.  Each becomes one CutProvider
     # row ``x'_k >= node.lower[t]`` appended after the root cuts; nodes in
     # a wave share the matrix and differ only in rhs.
     branch_vars: List[int] = []
-    base_n = root_provider.nr_columns() - len(cuts)  # md columns
     n_gmi = len(cuts)
 
     def wrap(md, node: _Node):
@@ -367,6 +410,19 @@ def solve_mip(
     seq = 1
     heap: List[_Node] = []
 
+    # Pseudocosts: (t, up) -> (sum of per-unit objective degradations,
+    # sample count).  Uninitialized directions estimate 1.0, which makes
+    # the product score f*(1-f) — exactly the most-fractional rule — until
+    # real observations arrive (Benichou et al. 1971 / Achterberg 2007).
+    pc: dict = {}
+
+    def _pc_estimate(t: int, up: bool) -> float:
+        entry = pc.get((t, up))
+        if entry is None:
+            return 1.0
+        s, cnt = entry
+        return s / cnt
+
     def consider(node: _Node, res: OptimizationResult, provider) -> None:
         """Prune / accept / branch one solved node."""
         nonlocal incumbent_obj, incumbent_reduced, incumbent_provider, seq
@@ -389,6 +445,16 @@ def solve_mip(
             # Priority only — a float-derived bound must never prune.
             bound = Fraction(float(res.objective)).limit_denominator(10**9)
             bound_exact = False
+        if node.branch_t is not None:
+            # Feed the observed degradation back into the pseudocosts
+            # (heuristic only: floats never influence bounds or pruning).
+            f_used = (
+                1.0 - node.branch_frac if node.branch_up else node.branch_frac
+            )
+            gain = max(float(bound) - node.parent_bound_f, 0.0)
+            key = (node.branch_t, node.branch_up)
+            s, cnt = pc.get(key, (0.0, 0))
+            pc[key] = (s + gain / max(f_used, 1e-9), cnt + 1)
         if (
             bound_exact
             and incumbent_obj is not None
@@ -417,17 +483,31 @@ def solve_mip(
                 incumbent_provider = provider
                 result.objective = incumbent_obj + fixed_cost
             return
-        # Most-fractional branching: fractional part closest to 1/2.
         import math
 
-        def frac_distance(tv):
-            frac = tv[1] - math.floor(tv[1])
-            return abs(frac - Fraction(1, 2))
+        if branching == "pseudocost":
+            # Product rule over the estimated down/up degradations
+            # (Achterberg 2007 §5.3); with no observations this is
+            # f*(1-f), i.e. most-fractional.
+            def pc_score(tv):
+                t, v = tv
+                f = float(v) - math.floor(v)
+                return (
+                    _pc_estimate(t, False) * max(f, 1e-6)
+                ) * (_pc_estimate(t, True) * max(1.0 - f, 1e-6))
 
-        t, v = min(fractional, key=frac_distance)
+            t, v = max(fractional, key=pc_score)
+        else:
+            # Most-fractional: fractional part closest to 1/2.
+            def frac_distance(tv):
+                frac = tv[1] - math.floor(tv[1])
+                return abs(frac - Fraction(1, 2))
+
+            t, v = min(fractional, key=frac_distance)
         k = actives[t]
+        frac_f = float(v) - math.floor(v)
         down, up = _branch_bounds(gf.variables[k], v)
-        for kind, val in (down, up):
+        for child_up, (kind, val) in enumerate((down, up)):
             lower = list(node.lower)
             upper = list(node.upper)
             if kind == "lb":
@@ -443,7 +523,17 @@ def solve_mip(
                 continue
             heapq.heappush(
                 heap,
-                _Node(bound, seq, tuple(lower), tuple(upper), bound_exact),
+                _Node(
+                    bound,
+                    seq,
+                    tuple(lower),
+                    tuple(upper),
+                    bound_exact,
+                    branch_t=t,
+                    branch_up=bool(child_up),
+                    branch_frac=frac_f,
+                    parent_bound_f=float(bound),
+                ),
             )
             seq += 1
 

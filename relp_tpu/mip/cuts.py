@@ -111,6 +111,36 @@ def _frac(v: Fraction) -> Fraction:
     return v - math.floor(v)
 
 
+def flatten_cut_over_base(
+    cut: Dict[int, Fraction],
+    cut_rhs_value: Fraction,
+    base_n: int,
+    prior_cuts: Sequence[Dict[int, Fraction]],
+    prior_rhs: Sequence[Fraction],
+) -> Tuple[Dict[int, Fraction], Fraction]:
+    """Express a cut derived on a cut-augmented provider over BASE columns.
+
+    A later GMI round runs on ``CutProvider(base, prior_cuts, prior_rhs)``
+    and may put (nonnegative) coefficients on the prior cuts' surplus
+    columns ``base_n + t``.  Each surplus satisfies exactly
+    ``s_t = <c_t, x> - rhs_t`` (the ``>=`` cut row t), so substituting it
+    out keeps the inequality valid and yields a cut over base columns only
+    — which keeps every B&B node a perturbed-rhs family of ONE flat
+    CutProvider instead of a nest.
+    """
+    flat: Dict[int, Fraction] = {}
+    rhs = cut_rhs_value
+    for j, coef in cut.items():
+        if j >= base_n:
+            t = j - base_n
+            for jj, cc in prior_cuts[t].items():
+                flat[jj] = flat.get(jj, Fraction(0)) + coef * cc
+            rhs += coef * prior_rhs[t]
+        else:
+            flat[j] = flat.get(j, Fraction(0)) + coef
+    return {j: v for j, v in flat.items() if v}, rhs
+
+
 def gomory_mixed_cuts(
     provider: MatrixProvider,
     basis: Sequence[int],

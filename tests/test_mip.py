@@ -363,3 +363,57 @@ def test_mip_rejects_unbounded_integer():
     )
     with pytest.raises(NotImplementedError):
         solve_mip(gf, _cfg())
+
+
+def test_mip_multi_round_cuts_tighten_monotonically():
+    """More root GMI rounds can only tighten (never loosen) the exact root
+    bound, and the certified optimum is invariant."""
+    def build():
+        return _gf(
+            Objective.MAXIMIZE,
+            [[6, 4], [1, 2]],
+            [RangedConstraintRelation.less(), RangedConstraintRelation.less()],
+            [24, 6],
+            [5, 4],
+            [(0, 4), (0, 3)],
+            [VariableType.INTEGER, VariableType.INTEGER],
+        )
+
+    one = solve_mip(build(), _cfg(), cut_rounds=1)
+    many = solve_mip(build(), _cfg(), cut_rounds=4)
+    assert one.objective == many.objective == Fraction(-20)
+    assert one.certified and many.certified
+    assert many.root_objective >= one.root_objective
+    assert many.root_objective > Fraction(-21)  # beats the bare relaxation
+
+
+def test_mip_branching_rules_agree_on_optimum():
+    """Pseudocost and most-fractional branching explore different trees but
+    certify the same exact optimum (cut-free run forces real branching)."""
+    def build():
+        rows = [
+            [3, 1, 4, 1, 5, 2, 6, 2, 1, 3],
+            [1, 2, 2, 3, 1, 4, 1, 2, 3, 2],
+            [2, 3, 1, 2, 2, 1, 3, 1, 2, 4],
+        ]
+        return _gf(
+            Objective.MAXIMIZE,
+            rows,
+            [RangedConstraintRelation.less()] * 3,
+            [17, 11, 13],
+            [7, 2, 9, 4, 8, 3, 6, 5, 1, 10],
+            [(0, 2)] * 10,
+            [VariableType.INTEGER] * 10,
+        )
+
+    ps = solve_mip(build(), _cfg(), gomory_cuts=0, branching="pseudocost")
+    mf = solve_mip(build(), _cfg(), gomory_cuts=0, branching="most_fractional")
+    assert ps.certified and mf.certified
+    assert ps.objective == mf.objective
+    assert ps.nodes_solved > 1 and mf.nodes_solved > 1
+
+
+def test_mip_unknown_branching_rejected():
+    gf = _integral_root_gf()
+    with pytest.raises(ValueError):
+        solve_mip(gf, _cfg(), branching="strong")
