@@ -43,7 +43,23 @@ def main(argv=None) -> int:
     solve.add_argument("--batch-width", type=int, default=16)
     solve.add_argument(
         "--gomory-cuts", type=int, default=8,
-        help="max exact root GMI cuts (0 disables)",
+        help="max exact root GMI cuts per round (0 disables)",
+    )
+    solve.add_argument(
+        "--cut-rounds", type=int, default=4,
+        help="max root GMI cut rounds",
+    )
+    solve.add_argument(
+        "--branching", default="pseudocost",
+        choices=["pseudocost", "most_fractional"],
+    )
+    solve.add_argument(
+        "--gap", type=float, default=0.0,
+        help="stop once this exact relative optimality gap is proven",
+    )
+    solve.add_argument(
+        "--time-limit", type=float, default=None,
+        help="wall-clock budget in seconds for branch & bound",
     )
 
     args = parser.parse_args(argv)
@@ -74,6 +90,8 @@ def main(argv=None) -> int:
         mip = solve_mip(
             gf, cfg, batch_width=args.batch_width,
             node_limit=args.node_limit, gomory_cuts=args.gomory_cuts,
+            cut_rounds=args.cut_rounds, branching=args.branching,
+            rel_gap=args.gap, time_limit_s=args.time_limit,
         )
         payload = {
             "status": mip.status.value,
@@ -85,6 +103,11 @@ def main(argv=None) -> int:
             "nodes_solved": mip.nodes_solved,
             "nodes_pruned": mip.nodes_pruned,
             "node_limit_hit": mip.node_limit_hit,
+            "time_limit_hit": mip.time_limit_hit,
+            "best_bound": (
+                str(mip.best_bound) if mip.best_bound is not None else None
+            ),
+            "gap": str(mip.gap) if mip.gap is not None else None,
             "root_objective": (
                 str(mip.root_objective)
                 if mip.root_objective is not None

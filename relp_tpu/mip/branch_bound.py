@@ -77,6 +77,16 @@ class MipResult:
     root_objective: Optional[Fraction] = None
     #: distinct variables that received a lazy lower-bound branch row
     branch_vars_used: int = 0
+    #: global dual (lower) bound at exit: min over open-node bounds and the
+    #: incumbent.  With ``best_bound_exact`` it is a *rigorous* rational
+    #: bound — early stops (gap/node/time limits) still return a proven
+    #: optimality interval [best_bound, objective].
+    best_bound: Optional[Fraction] = None
+    best_bound_exact: bool = True
+    #: exact relative gap (objective - best_bound) / max(1, |objective|)
+    #: at exit; 0 when optimality was proven.
+    gap: Optional[Fraction] = None
+    time_limit_hit: bool = False
 
 
 @dataclass(order=True)
@@ -206,6 +216,8 @@ def solve_mip(
     gomory_cuts: int = 8,
     cut_rounds: int = 4,
     branching: str = "pseudocost",
+    rel_gap: object = 0,
+    time_limit_s: Optional[float] = None,
 ) -> MipResult:
     """Exact branch & bound on a GeneralForm with integer variables.
 
@@ -226,6 +238,13 @@ def solve_mip(
     (uninitialized pseudocosts are 1, so the rule starts as most-fractional
     and sharpens as the tree supplies data); "most_fractional" keeps the
     pure fractional-part rule.
+
+    ``rel_gap`` > 0 stops once the *exact* relative optimality gap
+    ``(incumbent - best open bound) / max(1, |incumbent|)`` is proven at or
+    below it; ``time_limit_s`` stops before the next wave once the wall
+    clock is exceeded.  Early stops return ``certified=False`` (optimality
+    not proven) but a rigorous interval: ``best_bound``/``gap`` are exact
+    rationals whenever ``best_bound_exact``.
     """
     from relp_tpu.parallel.batch_driver import solve_batch
     from relp_tpu.simplex.driver import solve_relaxation
@@ -283,6 +302,8 @@ def solve_mip(
                     nodes_solved=0,
                     certified=True,
                     root_objective=obj,
+                    best_bound=obj,
+                    gap=Fraction(0),
                 )
             if exc.status is LPStatus.INFEASIBLE:
                 return MipResult(SolveStatus.INFEASIBLE)
@@ -540,7 +561,28 @@ def solve_mip(
     consider(root_node, root, root_provider)
     result.nodes_solved = 1
 
+    import time as _time
+
+    t0 = _time.time()
+    gap_target = (
+        rel_gap if isinstance(rel_gap, Fraction) else Fraction(str(rel_gap))
+    )
+    gap_stop = False
+
     while heap and result.nodes_solved < node_limit:
+        if time_limit_s is not None and _time.time() - t0 > time_limit_s:
+            result.time_limit_hit = True
+            break
+        if incumbent_obj is not None and gap_target > 0:
+            # The heap min is the global dual bound; only exact bounds can
+            # prove a gap.  (Float-bound nodes are rare — every certified
+            # node yields an exact bound — so the all() is cheap.)
+            if all(n.bound_exact for n in heap):
+                bb = min(n.bound for n in heap)
+                denom = max(Fraction(1), abs(incumbent_obj))
+                if (incumbent_obj - bb) / denom <= gap_target:
+                    gap_stop = True
+                    break
         wave: List[_Node] = []
         while heap and len(wave) < batch_width:
             node = heapq.heappop(heap)
@@ -576,24 +618,44 @@ def solve_mip(
             consider(node, res, provider)
         result.nodes_solved += len(wave)
 
-    result.node_limit_hit = bool(heap) and result.nodes_solved >= node_limit
+    result.node_limit_hit = (
+        bool(heap)
+        and not gap_stop
+        and not result.time_limit_hit
+        and result.nodes_solved >= node_limit
+    )
     result.branch_vars_used = len(branch_vars)
+
+    # Global dual bound over everything still open plus the incumbent;
+    # rigorous whenever every contributing node bound is exact.
+    open_bounds = [n.bound for n in heap]
+    candidates = list(open_bounds)
+    if incumbent_obj is not None:
+        candidates.append(incumbent_obj)
+    if candidates:
+        result.best_bound = min(candidates) + fixed_cost
+        result.best_bound_exact = all(n.bound_exact for n in heap)
+
     if incumbent_obj is None:
-        if result.node_limit_hit:
+        if result.node_limit_hit or result.time_limit_hit:
             return dataclasses.replace(
                 result, status=SolveStatus.NUMERICAL_ERROR, certified=False
             )
-        return MipResult(
-            SolveStatus.INFEASIBLE,
-            nodes_solved=result.nodes_solved,
-            nodes_pruned=result.nodes_pruned,
-            certified=result.certified,
+        return dataclasses.replace(
+            result,
+            status=SolveStatus.INFEASIBLE,
+            objective=None,
+            best_bound=None,
         )
     # The incumbent is exactly optimal only if the tree was exhausted.
-    if result.node_limit_hit:
+    if result.node_limit_hit or result.time_limit_hit or gap_stop:
         result.certified = False
     reduced = incumbent_provider.reconstruct_solution(incumbent_reduced)
     result.solution = gf.compute_full_solution_with_reduced_solution(reduced)
     result.objective = result.solution.objective_value
     assert result.objective == incumbent_obj + fixed_cost
+    if result.best_bound is not None:
+        result.gap = (result.objective - result.best_bound) / max(
+            Fraction(1), abs(result.objective)
+        )
     return result

@@ -417,3 +417,61 @@ def test_mip_unknown_branching_rejected():
     gf = _integral_root_gf()
     with pytest.raises(ValueError):
         solve_mip(gf, _cfg(), branching="strong")
+
+
+def test_mip_best_bound_and_gap_on_completion():
+    """A finished tree reports best_bound == objective and an exact 0 gap."""
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [[6, 4], [1, 2]],
+        [RangedConstraintRelation.less(), RangedConstraintRelation.less()],
+        [24, 6],
+        [5, 4],
+        [(0, 4), (0, 3)],
+        [VariableType.INTEGER, VariableType.INTEGER],
+    )
+    res = solve_mip(gf, _cfg())
+    assert res.best_bound == res.objective == Fraction(-20)
+    assert res.best_bound_exact
+    assert res.gap == 0
+
+
+def test_mip_rel_gap_stops_early_with_rigorous_interval():
+    """rel_gap=1/2: branch & bound stops as soon as the exact interval
+    [best_bound, incumbent] is proven within 50%, uncertified but with an
+    exact bound pair enclosing the true optimum (-20)."""
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [[6, 4], [1, 2]],
+        [RangedConstraintRelation.less(), RangedConstraintRelation.less()],
+        [24, 6],
+        [5, 4],
+        [(0, 4), (0, 3)],
+        [VariableType.INTEGER, VariableType.INTEGER],
+    )
+    res = solve_mip(gf, _cfg(), gomory_cuts=0, rel_gap=Fraction(1, 2))
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.objective is not None and res.best_bound is not None
+    assert res.best_bound <= Fraction(-20) <= res.objective
+    assert res.gap is not None and res.gap <= Fraction(1, 2)
+    if res.gap > 0:
+        assert not res.certified  # early stop: optimality not proven
+        assert res.best_bound_exact
+
+
+def test_mip_time_limit_zero_stops_before_first_wave():
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [[6, 4], [1, 2]],
+        [RangedConstraintRelation.less(), RangedConstraintRelation.less()],
+        [24, 6],
+        [5, 4],
+        [(0, 4), (0, 3)],
+        [VariableType.INTEGER, VariableType.INTEGER],
+    )
+    res = solve_mip(gf, _cfg(), gomory_cuts=0, time_limit_s=0.0)
+    assert res.time_limit_hit
+    assert res.nodes_solved == 1  # only the root was solved
+    assert not res.certified
+    # The root bound is still a rigorous global bound.
+    assert res.best_bound is not None and res.best_bound <= Fraction(-20)
