@@ -54,6 +54,11 @@ def main(argv=None) -> int:
         choices=["pseudocost", "most_fractional"],
     )
     solve.add_argument(
+        "--strong-branching", type=int, default=8,
+        help="root strong-branching candidates, evaluated as one batched "
+        "dispatch (0 disables)",
+    )
+    solve.add_argument(
         "--gap", type=float, default=0.0,
         help="stop once this exact relative optimality gap is proven",
     )
@@ -91,6 +96,7 @@ def main(argv=None) -> int:
             gf, cfg, batch_width=args.batch_width,
             node_limit=args.node_limit, gomory_cuts=args.gomory_cuts,
             cut_rounds=args.cut_rounds, branching=args.branching,
+            strong_branching=args.strong_branching,
             rel_gap=args.gap, time_limit_s=args.time_limit,
         )
         payload = {

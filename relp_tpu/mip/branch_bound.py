@@ -216,6 +216,7 @@ def solve_mip(
     gomory_cuts: int = 8,
     cut_rounds: int = 4,
     branching: str = "pseudocost",
+    strong_branching: int = 8,
     rel_gap: object = 0,
     time_limit_s: Optional[float] = None,
 ) -> MipResult:
@@ -238,6 +239,15 @@ def solve_mip(
     (uninitialized pseudocosts are 1, so the rule starts as most-fractional
     and sharpens as the tree supplies data); "most_fractional" keeps the
     pure fractional-part rule.
+
+    ``strong_branching`` > 0 evaluates up to that many fractional root
+    candidates by actually solving both children — all 2K child LPs are a
+    perturbed-rhs scenario family over ONE matrix (candidate branch rows
+    appended like cuts), so the whole evaluation is a single batched
+    dispatch warm-started from the root basis.  Observed degradations seed
+    the pseudocosts; a child with a *certified* exact Farkas infeasibility
+    fixes the root to the opposite side (both sides infeasible proves the
+    MIP infeasible before any branching).
 
     ``rel_gap`` > 0 stops once the *exact* relative optimality gap
     ``(incumbent - best open bound) / max(1, |incumbent|)`` is proven at or
@@ -557,6 +567,121 @@ def solve_mip(
                 ),
             )
             seq += 1
+
+    # --- root strong branching: one batched dispatch over the top-K
+    # fractional candidates' down/up children (a perturbed-rhs family over
+    # ONE matrix: GMI cuts + one branch row per candidate), warm-started
+    # from the root basis.  Exact bounds/pruning are untouched — outputs
+    # are pseudocost seeds (float heuristics) and certified-infeasible
+    # root fixings (exact). ---
+    if strong_branching > 0 and root_basis is not None:
+        sb_vals = _exact_values(root, root_provider, gf, actives)
+        sb_frac = (
+            []
+            if sb_vals is None
+            else [
+                (t, v) for t, v in enumerate(sb_vals) if v.denominator != 1
+            ]
+        )
+        if len(sb_frac) > 1:
+            from relp_tpu.mip.cuts import CutProvider
+
+            sb_frac.sort(
+                key=lambda tv: abs(
+                    (tv[1] - math.floor(tv[1])) - Fraction(1, 2)
+                )
+            )
+            cands = sb_frac[:strong_branching]
+            sb_rows = list(cuts) + [
+                {actives[t]: Fraction(1)} for t, _ in cands
+            ]
+            sb_warm = list(root_basis) + [
+                base_n + n_gmi + j for j in range(len(cands))
+            ]
+            root_obj_f = float(root.objective)
+
+            def sb_child(t, v, which):
+                """(lower, upper) of candidate t's down/up child, or None
+                when the child box is empty."""
+                down, up_b = _branch_bounds(gf.variables[actives[t]], v)
+                kind, val = down if which == 0 else up_b
+                lower = list(root_lower)
+                upper = list(root_upper)
+                if kind == "lb":
+                    lower[t] = max(lower[t], max(val, Fraction(0)))
+                else:
+                    upper[t] = min(upper[t], val)
+                if upper[t] < lower[t] or upper[t] < 0:
+                    return None
+                return tuple(lower), tuple(upper)
+
+            def sb_provider(lower, upper):
+                nd = _Node(Fraction(0), 0, lower, upper)
+                md = _node_provider(gf, counts, actives, nd)
+                rhs = list(cut_rhs) + [lower[t] for t, _ in cands]
+                return CutProvider(md, sb_rows, rhs)
+
+            metas = []  # (t, v, which) aligned with providers
+            providers = []
+            for t, v in cands:
+                for which in (0, 1):
+                    cb = sb_child(t, v, which)
+                    if cb is None:
+                        continue
+                    metas.append((t, v, which))
+                    providers.append(sb_provider(*cb))
+            if len(providers) == 1:
+                sb_solved = [
+                    solve_relaxation(
+                        providers[0], cfg, warm_start_basis=sb_warm
+                    )
+                ]
+            else:
+                sb_solved = solve_batch(
+                    providers,
+                    cfg,
+                    certify=True,
+                    shared_structure=True,
+                    warm_start_basis=sb_warm,
+                )
+            infeasible_sides: dict = {}
+            for (t, v, which), res in zip(metas, sb_solved):
+                f = float(v) - math.floor(v)
+                f_used = f if which == 0 else 1.0 - f
+                if res.status is SolveStatus.INFEASIBLE:
+                    if res.stats.certified:
+                        infeasible_sides.setdefault(t, set()).add(which)
+                    continue
+                if not res.is_optimal():
+                    continue
+                gain = max(float(res.objective) - root_obj_f, 0.0)
+                key = (t, which == 1)
+                s, cnt = pc.get(key, (0.0, 0))
+                pc[key] = (s + gain / max(f_used, 1e-9), cnt + 1)
+            # Certified-infeasible children fix the root to the other side.
+            new_lower = list(root_node.lower)
+            new_upper = list(root_node.upper)
+            for t, sides in infeasible_sides.items():
+                v = dict(cands)[t]
+                if sides == {0, 1}:
+                    return dataclasses.replace(
+                        result, status=SolveStatus.INFEASIBLE, objective=None
+                    )
+                which_dead = next(iter(sides))
+                down, up_b = _branch_bounds(gf.variables[actives[t]], v)
+                kind, val = up_b if which_dead == 0 else down
+                if kind == "lb":
+                    new_lower[t] = max(new_lower[t], max(val, Fraction(0)))
+                    if new_lower[t] > 0 and t not in branch_vars:
+                        branch_vars.append(t)
+                else:
+                    new_upper[t] = min(new_upper[t], val)
+                if new_upper[t] < new_lower[t]:
+                    return dataclasses.replace(
+                        result, status=SolveStatus.INFEASIBLE, objective=None
+                    )
+            root_node.lower = tuple(new_lower)
+            root_node.upper = tuple(new_upper)
 
     consider(root_node, root, root_provider)
     result.nodes_solved = 1

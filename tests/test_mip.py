@@ -475,3 +475,36 @@ def test_mip_time_limit_zero_stops_before_first_wave():
     assert not res.certified
     # The root bound is still a rigorous global bound.
     assert res.best_bound is not None and res.best_bound <= Fraction(-20)
+
+
+def test_mip_strong_branching_fixes_infeasible_side():
+    """min 10x + y, 2x + y >= 4, y in [0,1], x integer in [0,3]: root LP is
+    (3/2, 1).  The down child (x <= 1) forces y >= 2 > 1 — certified exact
+    Farkas infeasibility — so root strong branching fixes x >= 2 before any
+    branching.  Presolve is off so the fixing can only come from strong
+    branching; the optimum (x=2, y=0, objective 20) must be certified both
+    with and without it."""
+    def build():
+        return _gf(
+            Objective.MINIMIZE,
+            [[2, 1]],
+            [RangedConstraintRelation.greater()],
+            [4],
+            [10, 1],
+            [(0, 3), (0, 1)],
+            [VariableType.INTEGER, VariableType.CONTINUOUS],
+            names=["x", "y"],
+        )
+
+    sb = solve_mip(
+        build(), _cfg(presolve=False), gomory_cuts=0, strong_branching=8
+    )
+    plain = solve_mip(
+        build(), _cfg(presolve=False), gomory_cuts=0, strong_branching=0
+    )
+    assert sb.status is plain.status is SolveStatus.FINITE_OPTIMUM
+    assert sb.objective == plain.objective == Fraction(20)
+    assert sb.certified and plain.certified
+    assert sb.solution.value_of("x") == 2
+    # The fixed side never becomes an LP node.
+    assert sb.nodes_solved <= plain.nodes_solved
