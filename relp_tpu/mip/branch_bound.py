@@ -374,7 +374,22 @@ def solve_mip(
             if len(trial_cuts) == len(cuts):
                 break
             cut_provider = CutProvider(base_md, trial_cuts, trial_rhs)
-            cut_root = solve_relaxation(cut_provider, cfg)
+            # Dual warm restart from the previous root basis extended with
+            # the new cuts' surplus columns: block-triangular, so the duals
+            # (hence dual feasibility) are exactly preserved while the new
+            # surpluses sit primal-infeasible — the dual simplex repairs
+            # them directly instead of re-running phase 1 from scratch
+            # (50v-10: the cold re-solve burned 1,900 phase-1 iterations).
+            cut_warm = None
+            if root.basis is not None and len(root.basis) == (
+                base_md.nr_rows() + len(cuts)
+            ):
+                cut_warm = list(root.basis) + [
+                    base_n + t for t in range(len(cuts), len(trial_cuts))
+                ]
+            cut_root = solve_relaxation(
+                cut_provider, cfg, warm_start_basis=cut_warm
+            )
             if cut_root.status is SolveStatus.INFEASIBLE:
                 # Valid inequalities never cut an integer point: the MIP
                 # is infeasible.
