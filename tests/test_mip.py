@@ -508,3 +508,42 @@ def test_mip_strong_branching_fixes_infeasible_side():
     assert sb.solution.value_of("x") == 2
     # The fixed side never becomes an LP node.
     assert sb.nodes_solved <= plain.nodes_solved
+
+
+def test_mip_netlib_scale_boeing2_mixed_integer():
+    """Netlib-scale mixed-integer B&B: BOEING2 with its 12 doubly-bounded
+    structural variables restricted to integers.  The certified exact
+    rational optimum is pinned (branching order cannot change it), the
+    root relaxation bounds it from below, and every restricted variable
+    lands integral."""
+    from conftest import reference_problem
+    from relp_tpu.io import load_general_form
+
+    gf = load_general_form(reference_problem("netlib", "BOEING2.SIF"))
+    names = []
+    for (name, _), v in zip(gf.original_variables, gf.variables):
+        lo, hi = v.lower_bound, v.upper_bound
+        if (
+            lo is not None
+            and hi is not None
+            and hi > lo
+            and hi - lo <= 100
+            and len(names) < 12
+        ):
+            v.variable_type = VariableType.INTEGER
+            names.append(name)
+    assert len(names) == 12
+
+    res = solve_mip(
+        gf, SolverConfig(pad_to=128), batch_width=8, node_limit=64
+    )
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.certified
+    assert res.gap == 0
+    assert res.objective == Fraction(
+        -81445292308040766845970441451482629,
+        260018738544462172183354887000000,
+    )
+    assert res.root_objective <= res.objective
+    for name in names:
+        assert res.solution.value_of(name).denominator == 1
