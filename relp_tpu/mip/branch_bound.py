@@ -335,6 +335,30 @@ def solve_mip(
     if not root.is_optimal():
         return MipResult(root.status, certified=False)
 
+    # Rank repair at the root removed exactly-dependent STRUCTURAL rows.
+    # Branching only edits bound-row rhs and appends rows, so those rows
+    # stay dependent-and-consistent at every node: apply the SAME filter to
+    # every node provider.  (Without this, the filtered root basis has the
+    # wrong row count for unfiltered node matrices and every warm start —
+    # cut re-solves, strong branching, node waves — silently degrades to
+    # cold phase 1.)  Only certified roots may install the filter, and only
+    # when all removed rows are structural (bound-row rhs changes per node).
+    removed_rows: List[int] = sorted(
+        getattr(root.stats, "removed_rows", None) or []
+    )
+    if removed_rows and not (
+        root.stats.certified
+        and all(r < root_provider.nr_constraints() for r in removed_rows)
+    ):
+        removed_rows = []
+
+    def _filtered(p):
+        if not removed_rows:
+            return p
+        from relp_tpu.providers.filter import RemoveRows
+
+        return RemoveRows(p, removed_rows)
+
     # --- root GMI cut rounds (globally valid: shared by every node, so the
     # frontier stays a perturbed-rhs family of ONE flat matrix).  Later
     # rounds derive cuts on the cut-augmented tableau; coefficients landing
@@ -373,7 +397,9 @@ def solve_mip(
             trial_rhs = cut_rhs + [r for c, r in flat if c]
             if len(trial_cuts) == len(cuts):
                 break
-            cut_provider = CutProvider(base_md, trial_cuts, trial_rhs)
+            cut_provider = _filtered(
+                CutProvider(base_md, trial_cuts, trial_rhs)
+            )
             # Dual warm restart from the previous root basis extended with
             # the new cuts' surplus columns: block-triangular, so the duals
             # (hence dual feasibility) are exactly preserved while the new
@@ -382,7 +408,7 @@ def solve_mip(
             # (50v-10: the cold re-solve burned 1,900 phase-1 iterations).
             cut_warm = None
             if root.basis is not None and len(root.basis) == (
-                base_md.nr_rows() + len(cuts)
+                base_md.nr_rows() - len(removed_rows) + len(cuts)
             ):
                 cut_warm = list(root.basis) + [
                     base_n + t for t in range(len(cuts), len(trial_cuts))
@@ -417,21 +443,23 @@ def solve_mip(
 
     def wrap(md, node: _Node):
         if not cuts and not branch_vars:
-            return md
+            return _filtered(md)
         from relp_tpu.mip.cuts import CutProvider
 
         rows = list(cuts) + [{actives[t]: Fraction(1)} for t in branch_vars]
         rhs = list(cut_rhs) + [node.lower[t] for t in branch_vars]
-        return CutProvider(md, rows, rhs)
+        return _filtered(CutProvider(md, rows, rhs))
 
-    # Warm-start nodes from the root basis (only when it matches — rank
-    # repair on the root shrinks the basis, and fresh node providers are
-    # unfiltered) extended with the branch rows' surplus columns: the
+    # Warm-start nodes from the root basis (only when it matches — the
+    # removed-rows filter keeps root and node row counts aligned even
+    # after rank repair) extended with the branch rows' surplus columns: the
     # extended basis is block-triangular over the root basis, so its duals
     # — hence dual feasibility — are exactly those of the root optimum, and
     # the batched dual simplex restores primal feasibility per node.
     root_basis = root.basis
-    if root_basis is not None and len(root_basis) != root_provider.nr_rows():
+    if root_basis is not None and len(root_basis) != (
+        base_md.nr_rows() - len(removed_rows) + n_gmi
+    ):
         root_basis = None
 
     def wave_warm_basis():
@@ -634,7 +662,7 @@ def solve_mip(
                 nd = _Node(Fraction(0), 0, lower, upper)
                 md = _node_provider(gf, counts, actives, nd)
                 rhs = list(cut_rhs) + [lower[t] for t, _ in cands]
-                return CutProvider(md, sb_rows, rhs)
+                return _filtered(CutProvider(md, sb_rows, rhs))
 
             metas = []  # (t, v, which) aligned with providers
             providers = []
@@ -724,7 +752,11 @@ def solve_mip(
                     gap_stop = True
                     break
         wave: List[_Node] = []
-        while heap and len(wave) < batch_width:
+        while (
+            heap
+            and len(wave) < batch_width
+            and result.nodes_solved + len(wave) < node_limit
+        ):
             node = heapq.heappop(heap)
             if (
                 node.bound_exact
@@ -778,8 +810,11 @@ def solve_mip(
 
     if incumbent_obj is None:
         if result.node_limit_hit or result.time_limit_hit:
+            # Limit reached before any integer-feasible point was found:
+            # not a numerical failure — best_bound still carries the
+            # rigorous dual bound reached so far.
             return dataclasses.replace(
-                result, status=SolveStatus.NUMERICAL_ERROR, certified=False
+                result, status=SolveStatus.ITERATION_LIMIT, certified=False
             )
         return dataclasses.replace(
             result,

@@ -32,11 +32,15 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 from relp_tpu.exact.dixon import ExactSingularError, ExactSolver
 from relp_tpu.linalg.sparse import SparseVector
-from relp_tpu.providers.base import BoundDirection, MatrixProvider
+from relp_tpu.providers.base import (
+    BoundDirection,
+    MatrixProvider,
+    PartialInitialBasis,
+)
 from relp_tpu.providers.column import Column, SparseColumn
 
 
-class CutProvider(MatrixProvider):
+class CutProvider(PartialInitialBasis):
     """A provider with ``>=`` cut rows appended to the standard form.
 
     Cut t becomes row ``base_m + t``: ``sum_j c_tj x_j - s_t = rhs_t`` with a
@@ -98,6 +102,10 @@ class CutProvider(MatrixProvider):
         return self.inner.bound_row_index(j, direction)
 
     def pivot_element_indices(self) -> List[Tuple[int, int]]:
+        # Cut rows offer no pivot (surplus coefficient is -1); the inner
+        # provider's slack pivots pass through unchanged.
+        if not isinstance(self.inner, PartialInitialBasis):
+            return []
         return self.inner.pivot_element_indices()
 
     def reconstruct_solution(self, column_values: SparseVector) -> SparseVector:

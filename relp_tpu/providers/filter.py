@@ -12,12 +12,16 @@ from typing import List, Optional, Sequence
 
 from relp_tpu.data.elements import BoundDirection
 from relp_tpu.linalg.sparse import SparseVector
-from relp_tpu.providers.base import MatrixProvider
+from relp_tpu.providers.base import MatrixProvider, PartialInitialBasis
 from relp_tpu.providers.column import Column
 
 
-class RemoveRows(MatrixProvider):
-    """Provider view with some rows removed (reference: RemoveRows)."""
+class RemoveRows(PartialInitialBasis):
+    """Provider view with some rows removed (reference: RemoveRows).
+
+    Subclasses :class:`PartialInitialBasis` so the lowering keeps the
+    surviving slack pivots (remapped); with a non-partial inner provider
+    it simply offers none."""
 
     def __init__(self, inner: MatrixProvider, rows_to_skip: Sequence[int]):
         self.inner = inner
@@ -65,6 +69,16 @@ class RemoveRows(MatrixProvider):
             return None
         new = self._old_to_new[old]
         return new if new >= 0 else None
+
+    def pivot_element_indices(self) -> List[tuple]:
+        if not isinstance(self.inner, PartialInitialBasis):
+            return []
+        out = []
+        for row, col in self.inner.pivot_element_indices():
+            new = self._old_to_new[row]
+            if new >= 0:
+                out.append((new, col))
+        return out
 
     def reconstruct_solution(self, column_values: SparseVector) -> SparseVector:
         return self.inner.reconstruct_solution(column_values)
