@@ -55,43 +55,114 @@ def _save_partial():
         pass
 
 
-def _supervise() -> int:
-    import subprocess
-    import tempfile
+# No section finished after this many seconds => the worker is stuck in
+# uninterruptible device/tunnel init (a healthy TPU worker lands its first
+# section -- one compile + a few dispatches -- well inside this).
+BENCH_STALL_S = int(os.environ.get("BENCH_STALL_S", "180"))
 
-    fd, partial_path = tempfile.mkstemp(suffix=".bench.json")
-    os.close(fd)
-    env = dict(os.environ, BENCH_SUPERVISED="1", BENCH_PARTIAL_PATH=partial_path)
+
+def _run_worker(env, partial_path, *, deadline_s, stall_s=None):
+    """Run one supervised worker; returns (json_line or None, partial dict).
+
+    ``stall_s``: kill early if the partial file is still empty after this
+    many seconds (device init hang in C -- no signal can interrupt it; a
+    half-dead axon pool even lists devices fine and then hangs on the
+    first dispatch, so only "has any section finished" is a reliable
+    health signal).
+    """
+    import subprocess
+
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
         stdout=subprocess.PIPE,
         text=True,
     )
-    out = ""
-    try:
+
+    def read_partial():
         try:
-            out, _ = proc.communicate(timeout=BENCH_DEADLINE_S + 60)
+            with open(partial_path) as f:
+                return json.load(f)
+        except Exception:  # noqa: BLE001
+            return {}
+
+    t0 = time.time()
+    out = ""
+    while True:
+        try:
+            out, _ = proc.communicate(timeout=5)
+            break
         except subprocess.TimeoutExpired:
-            proc.kill()  # exact child pid only
-            try:
-                out, _ = proc.communicate(timeout=10)
-            except Exception:  # noqa: BLE001
-                out = out or ""
-        json_line = None
-        for line in (out or "").splitlines():
-            if line.startswith("{"):
-                json_line = line
+            elapsed = time.time() - t0
+            if os.environ.get("BENCH_DEBUG"):
+                print(f"[sup] tick {elapsed:.0f}s partial={read_partial()}",
+                      file=sys.stderr)
+            stalled = (
+                stall_s is not None
+                and elapsed > stall_s
+                and not read_partial()
+            )
+            if stalled or elapsed > deadline_s:
+                proc.kill()  # exact child pid only
+                try:
+                    out, _ = proc.communicate(timeout=10)
+                except Exception:  # noqa: BLE001
+                    out = out or ""
+                break
+    json_line = None
+    for line in (out or "").splitlines():
+        if line.startswith("{"):
+            json_line = line
+    return json_line, read_partial()
+
+
+def _supervise() -> int:
+    import tempfile
+
+    fd, partial_path = tempfile.mkstemp(suffix=".bench.json")
+    os.close(fd)
+    env = dict(os.environ, BENCH_SUPERVISED="1", BENCH_PARTIAL_PATH=partial_path)
+    try:
+        json_line, partial = _run_worker(
+            env,
+            partial_path,
+            deadline_s=BENCH_DEADLINE_S + 60,
+            stall_s=BENCH_STALL_S,
+        )
+        cpu_fallback = False
+        if (
+            json_line is None
+            and not partial
+            # The baked environment always pins JAX_PLATFORMS=axon; only an
+            # explicit CPU run should skip the fallback (nothing to fall
+            # back TO in that case).
+            and os.environ.get("JAX_PLATFORMS", "") != "cpu"
+        ):
+            # Nothing measured at all: the tunnel hung before the first
+            # section.  Re-measure on CPU (honestly labeled) instead of
+            # emitting a zero.
+            print("[bench] TPU worker stalled; CPU fallback", file=sys.stderr)
+            cpu_fallback = True
+            env["PALLAS_AXON_POOL_IPS"] = ""
+            env["JAX_PLATFORMS"] = "cpu"
+            env["BENCH_DEADLINE_S"] = str(min(BENCH_DEADLINE_S, 340))
+            json_line, partial = _run_worker(
+                env, partial_path, deadline_s=min(BENCH_DEADLINE_S, 340) + 30
+            )
         if json_line is not None:
+            if cpu_fallback:
+                result = json.loads(json_line)
+                result.setdefault("detail", {})[
+                    "tpu_tunnel_down_cpu_fallback"
+                ] = True
+                json_line = json.dumps(result)
             print(json_line)
             sys.stdout.flush()
             return 0
-        partial = {}
-        try:
-            with open(partial_path) as f:
-                partial = json.load(f)
-        except Exception:  # noqa: BLE001
-            pass
+        if cpu_fallback:
+            partial.setdefault("detail", {})[
+                "tpu_tunnel_down_cpu_fallback"
+            ] = True
         _emit(_result_from_partial(partial, timed_out=True))
         return 0
     finally:
