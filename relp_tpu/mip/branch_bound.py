@@ -87,6 +87,11 @@ class MipResult:
     #: at exit; 0 when optimality was proven.
     gap: Optional[Fraction] = None
     time_limit_hit: bool = False
+    #: the incumbent came from the root rounding dive (it may later be
+    #: replaced by a better tree incumbent)
+    dive_incumbent: bool = False
+    #: LPs spent by the rounding dive heuristic
+    dive_lps: int = 0
 
 
 @dataclass(order=True)
@@ -217,6 +222,7 @@ def solve_mip(
     cut_rounds: int = 4,
     branching: str = "pseudocost",
     strong_branching: int = 8,
+    dive_rounds: int = 30,
     rel_gap: object = 0,
     time_limit_s: Optional[float] = None,
 ) -> MipResult:
@@ -248,6 +254,16 @@ def solve_mip(
     the pseudocosts; a child with a *certified* exact Farkas infeasibility
     fixes the root to the opposite side (both sides infeasible proves the
     MIP infeasible before any branching).
+
+    ``dive_rounds`` > 0 runs a rounding dive at the root when it did not
+    land integral: every fractional integer variable is rounded toward the
+    side its branch expresses as an UPPER-bound move (floor for plain
+    variables, ceil for flipped ones) — a pure rhs restriction, so each
+    dive step is ONE dual-warm LP re-solve of the same matrix.  An
+    integer-feasible certified dive optimum becomes the initial incumbent,
+    enabling pruning from the first wave (pure best-bound search can
+    otherwise visit thousands of nodes on large MIPs without ever finding
+    a feasible point).
 
     ``rel_gap`` > 0 stops once the *exact* relative optimality gap
     ``(incumbent - best open bound) / max(1, |incumbent|)`` is proven at or
@@ -728,6 +744,133 @@ def solve_mip(
 
     consider(root_node, root, root_provider)
     result.nodes_solved = 1
+
+    # --- root rounding dive (relaxation-induced rounding): each round
+    # fixes the CURRENT fractional integer variables at their nearest
+    # integral value — the upper side is an rhs tweak, the lower side a
+    # small dive-local ``x >= a`` row (only for positive fixings) — then
+    # re-solves one dual-warm LP so the free variables compensate.  Fixed
+    # variables stay fixed, so the fractional set shrinks toward an
+    # integer-feasible certified point (the initial incumbent) or the
+    # restriction turns infeasible (give up — the tree still runs). ---
+    if dive_rounds > 0 and incumbent_obj is None and actives:
+        dive_lower = list(root_node.lower)
+        dive_upper = list(root_node.upper)
+        dive_lb_vars: List[int] = []  # t indices with a dive lb row
+        dive_vals = _exact_values(root, root_provider, gf, actives)
+
+        def _active_value(var, k: Fraction) -> Fraction:
+            return k + var.shift if not var.flipped else var.shift - k
+
+        def dive_wrap(md):
+            rows = (
+                list(cuts)
+                + [{actives[t]: Fraction(1)} for t in branch_vars]
+                + [{actives[t]: Fraction(1)} for t in dive_lb_vars]
+            )
+            rhs = (
+                list(cut_rhs)
+                + [dive_lower[t] for t in branch_vars]
+                + [dive_lower[t] for t in dive_lb_vars]
+            )
+            if not rows:
+                return _filtered(md)
+            return _filtered(CutProvider(md, rows, rhs))
+
+        def dive_warm():
+            if root_basis is None:
+                return None
+            return list(root_basis) + [
+                base_n + n_gmi + j
+                for j in range(len(branch_vars) + len(dive_lb_vars))
+            ]
+
+        from relp_tpu.mip.cuts import CutProvider
+
+        best_frac = None
+        stalled_rounds = 0
+        for _ in range(dive_rounds):
+            if dive_vals is None:
+                break
+            dive_frac = [
+                (t, v) for t, v in enumerate(dive_vals)
+                if v.denominator != 1
+            ]
+            if not dive_frac:
+                break  # integral — consider() already handled the root
+            # Each round fixes every fractional variable, but freed
+            # continuous/integral movement creates new ones; abort when
+            # the fractional count stops shrinking.
+            if best_frac is not None and len(dive_frac) >= best_frac:
+                stalled_rounds += 1
+                if stalled_rounds >= 5:
+                    break
+            else:
+                best_frac = len(dive_frac)
+                stalled_rounds = 0
+            if len(dive_frac) <= 8:
+                # Endgame: fix only the most-nearly-integral variable so
+                # the re-solve barely moves (fix-all oscillates here:
+                # observed 5 -> 5 -> 6 -> 7 on 50v-10's tail).
+                def _dist(tv):
+                    f = tv[1] - math.floor(tv[1])
+                    return min(f, 1 - f)
+
+                dive_frac = [min(dive_frac, key=_dist)]
+            ok = True
+            for t, v in dive_frac:
+                var = gf.variables[actives[t]]
+                k = Fraction(math.floor(v))
+                if v - k >= Fraction(1, 2):
+                    k += 1
+                if stalled_rounds >= 2 and stalled_rounds % 2 == 0:
+                    # Cycling escape: periodically round AWAY from the LP
+                    # value (the classic feasibility-pump flip).  One
+                    # stalled round is normal in the fix-one endgame, so
+                    # flips start at the second.
+                    k = 2 * Fraction(math.floor(v)) + 1 - k
+                a = _active_value(var, k)
+                if a < dive_lower[t] or a > dive_upper[t] or a < 0:
+                    # nearest is outside the box: try the other side
+                    k2 = 2 * Fraction(math.floor(v)) + 1 - k
+                    a = _active_value(var, k2)
+                    if a < dive_lower[t] or a > dive_upper[t] or a < 0:
+                        ok = False
+                        break
+                dive_upper[t] = a
+                dive_lower[t] = a
+                if a > 0 and t not in dive_lb_vars:
+                    dive_lb_vars.append(t)
+            if not ok:
+                break
+            dive_node = _Node(
+                Fraction(0), 0, tuple(dive_lower), tuple(dive_upper)
+            )
+            dive_prov = dive_wrap(
+                _node_provider(gf, counts, actives, dive_node)
+            )
+            dive_res = solve_relaxation(
+                dive_prov, cfg, warm_start_basis=dive_warm()
+            )
+            result.dive_lps += 1
+            if not dive_res.is_optimal():
+                break  # infeasible/failed restriction: abandon the dive
+            dive_vals = _exact_values(dive_res, dive_prov, gf, actives)
+            if (
+                dive_vals is not None
+                and all(v.denominator == 1 for v in dive_vals)
+                and dive_res.stats.certified
+                and dive_res.exact_objective is not None
+            ):
+                incumbent_obj = dive_res.exact_objective
+                reduced = getattr(dive_res, "exact_bfs", None)
+                if reduced is None:
+                    reduced = dive_res.bfs
+                incumbent_reduced = copy.deepcopy(reduced)
+                incumbent_provider = dive_prov
+                result.objective = incumbent_obj + fixed_cost
+                result.dive_incumbent = True
+                break
 
     import time as _time
 

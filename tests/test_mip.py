@@ -547,3 +547,31 @@ def test_mip_netlib_scale_boeing2_mixed_integer():
     assert res.root_objective <= res.objective
     for name in names:
         assert res.solution.value_of(name).denominator == 1
+
+
+def test_mip_rounding_dive_installs_root_incumbent():
+    """min x1 + 1.01 x2, 2x1 + 2x2 >= 7, x integer in [0,3]: the LP root is
+    fractional; the dive fixes x2 -> 1 (nearest), re-solves to x1 = 5/2,
+    fixes x1 -> 3, and lands the exact optimum (3, 1) as the incumbent
+    before any branching (cuts and strong branching disabled to force the
+    dive path)."""
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[2, 2]],
+        [RangedConstraintRelation.greater()],
+        [7],
+        [1, Fraction(101, 100)],
+        [(0, 3), (0, 3)],
+        [VariableType.INTEGER, VariableType.INTEGER],
+        names=["x1", "x2"],
+    )
+    res = solve_mip(
+        gf, _cfg(presolve=False), gomory_cuts=0, strong_branching=0
+    )
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.certified
+    assert res.objective == Fraction(401, 100)
+    assert res.dive_lps >= 1
+    assert res.dive_incumbent
+    assert res.solution.value_of("x1") == 3
+    assert res.solution.value_of("x2") == 1
