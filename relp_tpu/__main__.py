@@ -59,6 +59,11 @@ def main(argv=None) -> int:
         "dispatch (0 disables)",
     )
     solve.add_argument(
+        "--dive-rounds", type=int, default=30,
+        help="root rounding-dive LP budget for the initial incumbent "
+        "(0 disables)",
+    )
+    solve.add_argument(
         "--gap", type=float, default=0.0,
         help="stop once this exact relative optimality gap is proven",
     )
@@ -97,6 +102,7 @@ def main(argv=None) -> int:
             node_limit=args.node_limit, gomory_cuts=args.gomory_cuts,
             cut_rounds=args.cut_rounds, branching=args.branching,
             strong_branching=args.strong_branching,
+            dive_rounds=args.dive_rounds,
             rel_gap=args.gap, time_limit_s=args.time_limit,
         )
         payload = {

@@ -238,3 +238,39 @@ def test_miplib_acc_tight4():
     assert result.status is SolveStatus.FINITE_OPTIMUM
     assert abs(float(solution.objective_value) - 0.0) < 1e-3
     assert result.stats.certified
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RELP_TPU_RUN_SLOW"),
+    reason="~8-12 min on CPU. Exact B&B interval on miplib 50v-10 "
+    "(the reference stops at the LP root). Set RELP_TPU_RUN_SLOW=1.",
+)
+def test_miplib_50v_branch_and_bound_interval():
+    """Beyond reference scope: on 50v-10 the dive lands an exact certified
+    integer incumbent and the tree proves a rigorous rational interval
+    around the true optimum 3311.18 (GMI root bound > bare LP bound)."""
+    from fractions import Fraction as F_
+
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.io import load_general_form
+    from relp_tpu.mip import solve_mip
+
+    gf = load_general_form(
+        reference_problem("miplib", "50v-10.mps")
+    )
+    res = solve_mip(
+        gf,
+        SolverConfig(pad_to=128),
+        batch_width=8,
+        node_limit=8,
+        gomory_cuts=8,
+        cut_rounds=1,
+        strong_branching=0,
+    )
+    assert res.dive_incumbent
+    assert res.objective is not None and res.best_bound is not None
+    assert res.best_bound_exact
+    # Rigorous exact interval must enclose the known optimum.
+    assert res.best_bound <= F_(331118, 100) <= res.objective
+    # The GMI round tightens the root beyond the bare LP bound.
+    assert res.root_objective > F_(2880)
