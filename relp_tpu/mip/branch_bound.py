@@ -225,6 +225,7 @@ def solve_mip(
     dive_rounds: int = 30,
     rel_gap: object = 0,
     time_limit_s: Optional[float] = None,
+    mesh=None,
 ) -> MipResult:
     """Exact branch & bound on a GeneralForm with integer variables.
 
@@ -264,6 +265,12 @@ def solve_mip(
     enabling pruning from the first wave (pure best-bound search can
     otherwise visit thousands of nodes on large MIPs without ever finding
     a feasible point).
+
+    ``mesh`` (a ``jax.sharding.Mesh`` with "batch" and "col" axes) shards
+    every batched stage — node waves, strong branching — over the batch
+    axis and the tableau columns over the col axis; single-LP stages
+    (root, cut re-solves, dive) shard columns.  Verdicts are unchanged:
+    the mesh only moves where the chunks execute.
 
     ``rel_gap`` > 0 stops once the *exact* relative optimality gap
     ``(incumbent - best open bound) / max(1, |incumbent|)`` is proven at or
@@ -343,7 +350,7 @@ def solve_mip(
     root_upper = tuple(gf.variables[k].upper_bound for k in actives)
     root_node = _Node(Fraction(0), 0, root_lower, root_upper)
     root_provider = _node_provider(gf, counts, actives, root_node)
-    root = solve_relaxation(root_provider, cfg)
+    root = solve_relaxation(root_provider, cfg, mesh=mesh)
     if root.status is SolveStatus.INFEASIBLE:
         return MipResult(SolveStatus.INFEASIBLE, certified=root.stats.certified)
     if root.status is SolveStatus.UNBOUNDED:
@@ -430,7 +437,7 @@ def solve_mip(
                     base_n + t for t in range(len(cuts), len(trial_cuts))
                 ]
             cut_root = solve_relaxation(
-                cut_provider, cfg, warm_start_basis=cut_warm
+                cut_provider, cfg, warm_start_basis=cut_warm, mesh=mesh
             )
             if cut_root.status is SolveStatus.INFEASIBLE:
                 # Valid inequalities never cut an integer point: the MIP
@@ -692,7 +699,8 @@ def solve_mip(
             if len(providers) == 1:
                 sb_solved = [
                     solve_relaxation(
-                        providers[0], cfg, warm_start_basis=sb_warm
+                        providers[0], cfg, warm_start_basis=sb_warm,
+                        mesh=mesh,
                     )
                 ]
             else:
@@ -702,6 +710,7 @@ def solve_mip(
                     certify=True,
                     shared_structure=True,
                     warm_start_basis=sb_warm,
+                    mesh=mesh,
                 )
             infeasible_sides: dict = {}
             for (t, v, which), res in zip(metas, sb_solved):
@@ -850,7 +859,7 @@ def solve_mip(
                 _node_provider(gf, counts, actives, dive_node)
             )
             dive_res = solve_relaxation(
-                dive_prov, cfg, warm_start_basis=dive_warm()
+                dive_prov, cfg, warm_start_basis=dive_warm(), mesh=mesh
             )
             result.dive_lps += 1
             if not dive_res.is_optimal():
@@ -918,7 +927,8 @@ def solve_mip(
         if len(providers) == 1:
             solved = [
                 solve_relaxation(
-                    providers[0], cfg, warm_start_basis=warm_basis
+                    providers[0], cfg, warm_start_basis=warm_basis,
+                    mesh=mesh,
                 )
             ]
         else:
@@ -928,6 +938,7 @@ def solve_mip(
                 certify=True,
                 shared_structure=True,
                 warm_start_basis=warm_basis,
+                mesh=mesh,
             )
         for node, res, provider in zip(wave, solved, providers):
             consider(node, res, provider)

@@ -575,3 +575,39 @@ def test_mip_rounding_dive_installs_root_incumbent():
     assert res.dive_incumbent
     assert res.solution.value_of("x1") == 3
     assert res.solution.value_of("x2") == 1
+
+
+def test_mip_branch_and_bound_over_mesh():
+    """Exact B&B with node waves sharded over a 2x4 (batch x col) CPU mesh:
+    identical certified rational optimum to the single-device run — the
+    mesh only changes WHERE the batched scenario chunks execute."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from relp_tpu.parallel.mesh import make_mesh
+
+    def build():
+        rows = [
+            [3, 1, 4, 1, 5, 2, 6, 2, 1, 3],
+            [1, 2, 2, 3, 1, 4, 1, 2, 3, 2],
+            [2, 3, 1, 2, 2, 1, 3, 1, 2, 4],
+        ]
+        return _gf(
+            Objective.MAXIMIZE,
+            rows,
+            [RangedConstraintRelation.less()] * 3,
+            [17, 11, 13],
+            [7, 2, 9, 4, 8, 3, 6, 5, 1, 10],
+            [(0, 2)] * 10,
+            [VariableType.INTEGER] * 10,
+        )
+
+    mesh = make_mesh((2, 4))
+    meshed = solve_mip(
+        build(), _cfg(), batch_width=8, gomory_cuts=0, mesh=mesh
+    )
+    plain = solve_mip(build(), _cfg(), batch_width=8, gomory_cuts=0)
+    assert meshed.status is plain.status is SolveStatus.FINITE_OPTIMUM
+    assert meshed.certified and plain.certified
+    assert meshed.objective == plain.objective
