@@ -50,6 +50,10 @@ def main(argv=None) -> int:
         help="max root GMI cut rounds",
     )
     solve.add_argument(
+        "--cover-cuts", type=int, default=8,
+        help="max exact knapsack cover cuts at the root (0 disables)",
+    )
+    solve.add_argument(
         "--branching", default="pseudocost",
         choices=["pseudocost", "most_fractional"],
     )
@@ -100,7 +104,8 @@ def main(argv=None) -> int:
         mip = solve_mip(
             gf, cfg, batch_width=args.batch_width,
             node_limit=args.node_limit, gomory_cuts=args.gomory_cuts,
-            cut_rounds=args.cut_rounds, branching=args.branching,
+            cut_rounds=args.cut_rounds, cover_cuts=args.cover_cuts,
+            branching=args.branching,
             strong_branching=args.strong_branching,
             dive_rounds=args.dive_rounds,
             rel_gap=args.gap, time_limit_s=args.time_limit,

@@ -220,6 +220,7 @@ def solve_mip(
     node_limit: int = 10_000,
     gomory_cuts: int = 8,
     cut_rounds: int = 4,
+    cover_cuts: int = 8,
     branching: str = "pseudocost",
     strong_branching: int = 8,
     dive_rounds: int = 30,
@@ -240,6 +241,12 @@ def solve_mip(
     branching — globally valid inequalities, so every node shares the
     augmented matrix.  Rounds stop when the root turns integral, the exact
     bound stalls, or no new cuts separate.
+
+    ``cover_cuts`` > 0 adds one round of exact knapsack cover cuts on the
+    post-GMI root point (``mip/cuts.knapsack_cover_cuts``): minimal covers
+    of the standardized <= / >= rows over the binary columns, ``sum_C x_j
+    <= |C| - 1``, appended as ``<=`` rows whose +1 slack needs no phase-1
+    artificial.  Globally valid (branching only tightens upper bounds).
 
     ``branching``: "pseudocost" (default) scores candidates by the product
     of observed per-unit objective degradations from past branchings
@@ -389,6 +396,7 @@ def solve_mip(
     # (flatten_cut_over_base), keeping a single flat CutProvider. ---
     cuts: list = []
     cut_rhs: list = []
+    cut_senses: list = []
     base_md = root_provider  # the pre-cut node MatrixData
     base_n = base_md.nr_columns()
     if gomory_cuts > 0:
@@ -418,10 +426,13 @@ def solve_mip(
             ]
             trial_cuts = cuts + [c for c, _ in flat if c]
             trial_rhs = cut_rhs + [r for c, r in flat if c]
+            trial_senses = cut_senses + [">="] * (
+                len(trial_cuts) - len(cuts)
+            )
             if len(trial_cuts) == len(cuts):
                 break
             cut_provider = _filtered(
-                CutProvider(base_md, trial_cuts, trial_rhs)
+                CutProvider(base_md, trial_cuts, trial_rhs, trial_senses)
             )
             # Dual warm restart from the previous root basis extended with
             # the new cuts' surplus columns: block-triangular, so the duals
@@ -453,9 +464,71 @@ def solve_mip(
                 or cut_root.exact_objective > root.exact_objective
             )
             root_provider, root = cut_provider, cut_root
-            cuts, cut_rhs = trial_cuts, trial_rhs
+            cuts, cut_rhs, cut_senses = trial_cuts, trial_rhs, trial_senses
             if not improved:
                 break  # bound stalled: keep this round's cuts but stop
+
+    # --- one round of exact knapsack cover cuts (also globally valid:
+    # branching only tightens upper bounds, which only strengthens the
+    # covers' rhs absorption) on the post-GMI root point. ---
+    if cover_cuts > 0:
+        from relp_tpu.mip.cuts import CutProvider, knapsack_cover_cuts
+
+        reduced0 = getattr(root, "exact_bfs", None)
+        if reduced0 is None:
+            reduced0 = root.bfs
+        if reduced0 is not None:
+            x_active = root_provider.reconstruct_solution(
+                copy.deepcopy(reduced0)
+            )
+            binaries = [
+                k
+                for k in actives
+                if gf.variables[k].upper_bound == 1
+                and gf.variables[k].lower_bound in (None, Fraction(0))
+            ]
+            if binaries:
+                cov, cov_rhs, cov_senses = knapsack_cover_cuts(
+                    gf, counts, binaries, x_active, max_cuts=cover_cuts
+                )
+                if cov:
+                    trial_cuts = cuts + cov
+                    trial_rhs = cut_rhs + cov_rhs
+                    trial_senses = cut_senses + cov_senses
+                    cov_provider = _filtered(
+                        CutProvider(
+                            base_md, trial_cuts, trial_rhs, trial_senses
+                        )
+                    )
+                    cov_warm = None
+                    if root.basis is not None and len(root.basis) == (
+                        base_md.nr_rows() - len(removed_rows) + len(cuts)
+                    ):
+                        # The new <= slacks enter basic (their rows are
+                        # violated at the root point -> negative values);
+                        # the dual simplex repairs them like surpluses.
+                        cov_warm = list(root.basis) + [
+                            base_n + t
+                            for t in range(len(cuts), len(trial_cuts))
+                        ]
+                    cov_root = solve_relaxation(
+                        cov_provider,
+                        cfg,
+                        warm_start_basis=cov_warm,
+                        mesh=mesh,
+                    )
+                    if cov_root.status is SolveStatus.INFEASIBLE:
+                        return MipResult(
+                            SolveStatus.INFEASIBLE,
+                            certified=cov_root.stats.certified,
+                        )
+                    if cov_root.is_optimal():
+                        root_provider, root = cov_provider, cov_root
+                        cuts, cut_rhs, cut_senses = (
+                            trial_cuts,
+                            trial_rhs,
+                            trial_senses,
+                        )
 
     # Lazy branch rows: active-variable t-indices that ever received a
     # lower-bound branch, in insertion order.  Each becomes one CutProvider
@@ -471,7 +544,8 @@ def solve_mip(
 
         rows = list(cuts) + [{actives[t]: Fraction(1)} for t in branch_vars]
         rhs = list(cut_rhs) + [node.lower[t] for t in branch_vars]
-        return _filtered(CutProvider(md, rows, rhs))
+        senses = list(cut_senses) + [">="] * len(branch_vars)
+        return _filtered(CutProvider(md, rows, rhs, senses))
 
     # Warm-start nodes from the root basis (only when it matches — the
     # removed-rows filter keeps root and node row counts aligned even
@@ -661,6 +735,7 @@ def solve_mip(
             sb_rows = list(cuts) + [
                 {actives[t]: Fraction(1)} for t, _ in cands
             ]
+            sb_senses = list(cut_senses) + [">="] * len(cands)
             sb_warm = list(root_basis) + [
                 base_n + n_gmi + j for j in range(len(cands))
             ]
@@ -685,7 +760,7 @@ def solve_mip(
                 nd = _Node(Fraction(0), 0, lower, upper)
                 md = _node_provider(gf, counts, actives, nd)
                 rhs = list(cut_rhs) + [lower[t] for t, _ in cands]
-                return _filtered(CutProvider(md, sb_rows, rhs))
+                return _filtered(CutProvider(md, sb_rows, rhs, sb_senses))
 
             metas = []  # (t, v, which) aligned with providers
             providers = []
@@ -782,9 +857,12 @@ def solve_mip(
                 + [dive_lower[t] for t in branch_vars]
                 + [dive_lower[t] for t in dive_lb_vars]
             )
+            senses = list(cut_senses) + [">="] * (
+                len(branch_vars) + len(dive_lb_vars)
+            )
             if not rows:
                 return _filtered(md)
-            return _filtered(CutProvider(md, rows, rhs))
+            return _filtered(CutProvider(md, rows, rhs, senses))
 
         def dive_warm():
             if root_basis is None:

@@ -611,3 +611,32 @@ def test_mip_branch_and_bound_over_mesh():
     assert meshed.status is plain.status is SolveStatus.FINITE_OPTIMUM
     assert meshed.certified and plain.certified
     assert meshed.objective == plain.objective
+
+
+def test_mip_cover_cuts_close_knapsack_root():
+    """max 10(x1+x2+x3), 5x1+5x2+5x3 <= 12, x binary: LP root (0.8,0.8,0.8)
+    = 24; the minimal cover {1,2,3} gives x1+x2+x3 <= 2, closing the root
+    bound to the exact optimum 20 with GMI disabled."""
+    def build():
+        return _gf(
+            Objective.MAXIMIZE,
+            [[5, 5, 5]],
+            [RangedConstraintRelation.less()],
+            [12],
+            [10, 10, 10],
+            [(0, 1)] * 3,
+            [VariableType.INTEGER] * 3,
+        )
+
+    covered = solve_mip(
+        build(), _cfg(presolve=False), gomory_cuts=0, cover_cuts=8,
+        strong_branching=0,
+    )
+    bare = solve_mip(
+        build(), _cfg(presolve=False), gomory_cuts=0, cover_cuts=0,
+        strong_branching=0,
+    )
+    assert covered.objective == bare.objective == Fraction(-20)
+    assert covered.certified and bare.certified
+    assert bare.root_objective == Fraction(-24)
+    assert covered.root_objective == Fraction(-20)  # cover closes the root
