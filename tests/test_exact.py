@@ -194,3 +194,27 @@ def test_exact_cleanup_many_pivots_from_wrong_basis():
         if j < n_real
     )
     assert objective == result.exact_objective
+
+
+def test_exact_duals_satisfy_strong_duality():
+    """Certified solves expose the exact simplex multipliers y; the standard
+    form's rows are equalities, so strong duality holds exactly:
+    y . [b;u;r] == the certified objective (AFIRO end-to-end)."""
+    from fractions import Fraction
+
+    from conftest import reference_problem
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.io import load_general_form
+    from relp_tpu.simplex.driver import solve_relaxation
+
+    gf = load_general_form(reference_problem("netlib", "AFIRO.SIF"))
+    counts = gf.standardize()
+    md = gf.derive_matrix_data(counts)
+    result = solve_relaxation(md, SolverConfig(pad_to=8))
+    assert result.stats.certified
+    assert result.exact_duals is not None
+    rhs = md.right_hand_side()
+    assert len(result.exact_duals) == len(rhs)
+    assert sum(
+        (y * b for y, b in zip(result.exact_duals, rhs)), Fraction(0)
+    ) == result.exact_objective
