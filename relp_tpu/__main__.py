@@ -39,6 +39,16 @@ def main(argv=None) -> int:
         "LP relaxations (default: solve the LP relaxation like the "
         "reference)",
     )
+    solve.add_argument(
+        "--first-order",
+        action="store_true",
+        help="solve by restarted PDHG (PDLP-style matvec-only method) and "
+        "cross over to the exact simplex/certification pipeline",
+    )
+    solve.add_argument(
+        "--fo-tol", type=float, default=1e-6,
+        help="first-order KKT tolerance before crossover",
+    )
     solve.add_argument("--node-limit", type=int, default=10_000)
     solve.add_argument("--batch-width", type=int, default=16)
     solve.add_argument(
@@ -146,7 +156,43 @@ def main(argv=None) -> int:
                     if value:
                         print(f"  {name} = {value}")
         return 0 if mip.status is SolveStatus.FINITE_OPTIMUM else 1
-    result, solution = solve_general_form(gf, cfg)
+    if args.first_order:
+        from relp_tpu.data.elements import LinearProgramError, LPStatus
+        from relp_tpu.firstorder import solve_first_order
+
+        solution = None
+        try:
+            if cfg.presolve:
+                gf.presolve()
+            counts = gf.standardize()
+            md = gf.derive_matrix_data(counts)
+            result = solve_first_order(md, cfg, tol=args.fo_tol)
+            if result.is_optimal():
+                reduced = (
+                    result.exact_bfs
+                    if result.exact_bfs is not None
+                    else result.bfs
+                )
+                reduced = md.reconstruct_solution(reduced)
+                solution = gf.compute_full_solution_with_reduced_solution(
+                    reduced
+                )
+        except LinearProgramError as exc:
+            from relp_tpu.simplex.result import (
+                OptimizationResult,
+                SolveStats,
+            )
+
+            status = {
+                LPStatus.FINITE_OPTIMUM: SolveStatus.FINITE_OPTIMUM,
+                LPStatus.INFEASIBLE: SolveStatus.INFEASIBLE,
+                LPStatus.UNBOUNDED: SolveStatus.UNBOUNDED,
+            }[exc.status]
+            result = OptimizationResult(status=status, stats=SolveStats())
+            result.stats.certified = exc.status is LPStatus.FINITE_OPTIMUM
+            solution = exc.payload
+    else:
+        result, solution = solve_general_form(gf, cfg)
 
     if args.save_basis and result.basis:
         from relp_tpu.utils.checkpoint import save_basis

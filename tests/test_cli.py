@@ -54,3 +54,14 @@ def test_cli_mip_gap_and_limits(capsys):
     out = json.loads(capsys.readouterr().out)
     assert rc == 0
     assert out["status"] == "finite_optimum"
+
+
+def test_cli_first_order_json(capsys):
+    rc = main(
+        ["solve", "--first-order", "--json", os.path.join(NETLIB, "AFIRO.SIF")]
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0
+    assert out["status"] == "finite_optimum"
+    assert out["objective"] == "-406659/875"
+    assert out["certified"] is True
