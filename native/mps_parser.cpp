@@ -185,7 +185,10 @@ ParseResult* parse_impl(const char* data, size_t size, bool fixed) {
     if (!line.empty()) {
       size_t first = 0;
       while (first < line.size() && is_space(line[first])) ++first;
-      bool comment = first < line.size() && line[first] == '*';
+      // '&'-prefixed lines (column 1) are stray comments in some netlib
+      // SIF files (CRE-C); '&' never starts a section keyword or data line.
+      bool comment = (first < line.size() && line[first] == '*') ||
+                     (first == 0 && !line.empty() && line[0] == '&');
       if (first < line.size() && !comment) lines.push_back({line, line_no});
     }
     if (nl == std::string_view::npos) break;

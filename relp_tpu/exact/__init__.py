@@ -12,14 +12,25 @@ exactness on the host:
   the reference's debug_assert_in_basic_feasible_solution_state,
   tableau/mod.rs:319-357), compute the exact objective, and if the float
   basis is not exactly optimal run exact simplex cleanup pivots until it is.
+* :mod:`relp_tpu.exact.sensitivity` — exact post-optimality analysis against
+  the certified basis: shadow prices, reduced costs, and mathematically
+  sharp RHS/cost ranging intervals (beyond reference scope).
 """
 
 from relp_tpu.exact.dixon import exact_solve, ExactSingularError
 from relp_tpu.exact.certify import certify_and_repair, certify_basis
+from relp_tpu.exact.sensitivity import (
+    ExactSensitivity,
+    SensitivityReport,
+    exact_sensitivity,
+)
 
 __all__ = [
     "exact_solve",
     "ExactSingularError",
     "certify_and_repair",
     "certify_basis",
+    "ExactSensitivity",
+    "SensitivityReport",
+    "exact_sensitivity",
 ]

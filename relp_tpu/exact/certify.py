@@ -208,6 +208,9 @@ def certify_and_repair(
     result.exact_objective = objective
     result.exact_duals = y
     result.basis = basis
+    # Basic artificials (zero-valued) may remain in the basis; record the
+    # offset so downstream consumers (exact sensitivity) can interpret them.
+    result.art_offset = art_offset
     result.bfs = result.exact_bfs
     result.objective = float(objective)
     result.stats.certified = True

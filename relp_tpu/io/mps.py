@@ -172,7 +172,13 @@ def _into_lines(text: str) -> Iterator[Tuple[int, str]]:
     for number, line in enumerate(text.splitlines(), start=1):
         if not line:
             continue
-        if line.lstrip().startswith(COMMENT_INDICATOR):
+        stripped = line.lstrip()
+        if stripped.startswith(COMMENT_INDICATOR):
+            continue
+        # Some netlib SIF files (CRE-C) carry stray "&"-prefixed comment
+        # lines; "&" never starts a valid section keyword or data line
+        # (data lines are indented), so skip them like "*" comments.
+        if line.startswith("&"):
             continue
         yield (number, line)
 

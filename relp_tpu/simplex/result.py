@@ -59,6 +59,9 @@ class OptimizationResult:
     exact_duals: Optional[List[Fraction]] = None
     # Final basis (provider column index per structural row).
     basis: Optional[List[int]] = None
+    # First artificial column index when ``basis`` still contains
+    # (zero-valued) artificials; None for an all-structural basis.
+    art_offset: Optional[int] = None
     stats: SolveStats = field(default_factory=SolveStats)
 
     def is_optimal(self) -> bool:

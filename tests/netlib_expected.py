@@ -63,3 +63,75 @@ NETLIB_EXPECTED = {
     "RECIPELP": (-0.266616e3, 1e-7, False),
     "VTP-BASE": (0.1298314624613613657395984384889e6, 1e-4, False),
 }
+
+# --- Extended coverage beyond the reference's 48 test functions ---------
+#
+# The reference ships 104 netlib SIF files (tests/netlib/problem_files/) but
+# writes tests for only 48 of them; the other 54 are never solved by RELP at
+# all.  We sweep them too.  External objectives below are Koch, "The final
+# Netlib-LP results" (Oper. Res. Letters 32, 2004) / the canonical netlib
+# README values, recalled to the precision given; entries marked None have no
+# trusted external value on hand.  Either way the HARD gate for these
+# problems is our own exact rational certification (optimal basis proved by
+# Dixon solves + reduced-cost sign check), not the float comparison: a
+# certified objective is correct by construction.  Tolerances are therefore
+# looser than the reference table's (external values serve as a sanity
+# cross-check, catching e.g. parse or sign errors).
+#
+# name -> (approx expected objective or None, abs tolerance or None)
+NETLIB_EXTRA = {
+    "CRE-A": (2.3595407e7, 3e2),
+    "CRE-C": (2.5275116e7, 3e2),
+    "D2Q06C": (122784.21, 1e0),
+    "D6CUBE": (315.4917, 1e-2),
+    "DEGEN2": (-1435.178, 1e-2),
+    "DEGEN3": (-987.294, 1e-2),
+    "DFL001": (1.12664e7, 2e3),
+    "FFFFF800": (555679.61, 1e0),
+    "FIT1D": (-9146.378, 1e-1),
+    "FIT1P": (9146.378, 1e-1),
+    "FIT2P": (68464.293, 1e0),
+    "FORPLAN": (-664.2190, 1e-2),
+    "GANGES": (-109585.736, 1e-1),
+    "GROW15": (-1.0687094e8, 1e3),
+    "GROW22": (-1.6083434e8, 1e3),
+    "KEN-07": (-6.7952044e8, 1e4),
+    "KEN-11": (-6.9723823e9, 1e5),
+    "MAROS": (-58063.744, 1e0),
+    "NESM": (1.40760365e7, 1e3),
+    "PDS-02": (2.8857862e10, 1e6),
+    "PDS-06": (2.7761038e10, 1e6),
+    "PEROLD": (-9380.7553, 1e-1),
+    "PILOT": (-557.48973, 1e-2),
+    "PILOT-JA": (-6113.1365, 1e-1),
+    "PILOT-WE": (-2720107.5, 1e1),
+    "PILOT4": (-2581.1393, 1e-1),
+    "PILOT87": (301.71035, 1e-2),
+    "PILOTNOV": (-4497.2762, 1e-1),
+    "QAP8": (203.5, 1e-2),
+    "QAP12": (522.894, 1e0),
+    "QAP15": (1040.994, 1e1),
+    "SCAGR25": (-1.4753433e7, 1e2),
+    "SCFXM2": (36660.2616, 1e-1),
+    "SCFXM3": (54901.2545, 1e-1),
+    "SCSD6": (50.5, 1e-4),
+    "SCSD8": (905.0, 1e-3),
+    "SCTAP2": (1724.8071, 1e-2),
+    "SCTAP3": (1424.0, 1e-2),
+    "SEBA": (15711.6, 1e-1),
+    "SHELL": (1.208825346e9, 1e3),
+    "SHIP04L": (1793324.538, 1e0),
+    "SHIP04S": (1798714.700, 1e0),
+    "SHIP08L": (1909055.211, 1e0),
+    "SHIP08S": (1920098.211, 1e0),
+    "SHIP12L": (1470187.919, 1e0),
+    "SHIP12S": (1489236.134, 1e0),
+    "SIERRA": (1.5394362e7, 1e3),
+    "STANDGUB": (1257.6995, 1e-2),
+    "STOCFOR2": (-39024.4085, 1e-1),
+    "STOCFOR3": (-39976.6616, 1e-1),
+    "TRUSS": (458815.847, 1e0),
+    "TUFF": (0.29214776, 1e-4),
+    "WOOD1P": (1.44290241, 1e-4),
+    "WOODW": (1.30447633, 1e-4),
+}
