@@ -118,6 +118,9 @@ def pdhg_solve(
     max_iters: int = 100_000,
     chunk: int = 200,
     dtype=np.float32,
+    mesh=None,
+    row_axis: Optional[str] = "batch",
+    col_axis: Optional[str] = "col",
 ) -> Tuple[np.ndarray, np.ndarray, FirstOrderStats]:
     """Restarted PDHG on ``min c'x s.t. Ax=b, 0 <= x <= u``; returns
     (x, y, stats).  ``u`` entries may be +inf (default: all +inf).
@@ -125,6 +128,17 @@ def pdhg_solve(
     The inner chunk is one jitted ``fori_loop`` (two matvecs plus a box
     projection per iteration); the host loop checks KKT residuals on the
     per-chunk candidate and applies PDLP's restart criteria.
+
+    With ``mesh`` the iterated system is 2-D sharded: A rows over
+    ``row_axis`` and columns over ``col_axis`` (either may be absent from
+    the mesh or ``None`` for 1-D sharding), x/c/u follow the columns,
+    y/b the rows.  GSPMD turns the two matvecs into per-shard partial
+    products plus ``psum`` combines over ICI — PDHG has *no* sequential
+    pivot state, so unlike the simplex carry nothing is replicated and the
+    method scales to LPs far beyond one chip's HBM.  Zero-padding (zero
+    rows, zero-width ``u=0`` columns) makes every shard equal-sized; the
+    padding is exactly absorbing (padded x stays clipped to 0, padded y
+    stays 0 since the padded rows have b=0 and no nonzeros).
     """
     import jax
     import jax.numpy as jnp
@@ -148,10 +162,32 @@ def pdhg_solve(
     cs = (c_np.astype(np.float64) * d_col).astype(dtype)
     # Column scaling D_c maps x_s = x / d_col, so bounds scale as u / d_col.
     us = (u_np.astype(np.float64) / d_col).astype(dtype)
-    A = jnp.asarray(As.astype(dtype))
-    b = jnp.asarray(bs)
-    c = jnp.asarray(cs)
-    u = jnp.asarray(us)
+    As = As.astype(dtype)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        ax_r = row_axis if (row_axis in mesh.shape and mesh.shape[row_axis] > 1) else None
+        ax_c = col_axis if (col_axis in mesh.shape and mesh.shape[col_axis] > 1) else None
+        n_r = mesh.shape[ax_r] if ax_r else 1
+        n_c = mesh.shape[ax_c] if ax_c else 1
+        m_pad = (-m) % n_r
+        n_pad = (-n) % n_c
+        if m_pad or n_pad:
+            As = np.pad(As, ((0, m_pad), (0, n_pad)))
+            bs = np.pad(bs, (0, m_pad))
+            cs = np.pad(cs, (0, n_pad))
+            # u=0 pins padded primal coordinates at 0 through the clip.
+            us = np.pad(us, (0, n_pad))
+        A = jax.device_put(jnp.asarray(As), NamedSharding(mesh, P(ax_r, ax_c)))
+        b = jax.device_put(jnp.asarray(bs), NamedSharding(mesh, P(ax_r)))
+        c = jax.device_put(jnp.asarray(cs), NamedSharding(mesh, P(ax_c)))
+        u = jax.device_put(jnp.asarray(us), NamedSharding(mesh, P(ax_c)))
+    else:
+        A = jnp.asarray(As)
+        b = jnp.asarray(bs)
+        c = jnp.asarray(cs)
+        u = jnp.asarray(us)
 
     norm_A = max(_power_norm(A), 1e-12)
     step = 0.9 / norm_A
@@ -182,8 +218,8 @@ def pdhg_solve(
         x, y, x_t, y_t = lax.fori_loop(0, chunk, body, (x, y, x, y))
         return x, y, x_t, y_t
 
-    x = jnp.zeros(n, dtype=A.dtype)
-    y = jnp.zeros(m, dtype=A.dtype)
+    x = jnp.zeros_like(c)
+    y = jnp.zeros_like(b)
     ax, ay = x, y  # Halpern anchor
     k0 = 0.0  # Halpern step counter since last restart
     stats = FirstOrderStats()
@@ -235,9 +271,10 @@ def pdhg_solve(
             stats.restarts += 1
 
     stats.wall_time_s = time.time() - t0
-    # Undo the scaling: original x = D_c x_s, y = D_r y_s.
-    x_out = np.asarray(x, dtype=np.float64) * d_col
-    y_out = np.asarray(y, dtype=np.float64) * d_row
+    # Undo the scaling (original x = D_c x_s, y = D_r y_s), dropping any
+    # mesh padding first.
+    x_out = np.asarray(x, dtype=np.float64)[:n] * d_col
+    y_out = np.asarray(y, dtype=np.float64)[:m] * d_row
     return x_out, y_out, stats
 
 
@@ -276,9 +313,14 @@ def solve_first_order(
     max_iters: int = 100_000,
     chunk: int = 200,
     crossover: bool = True,
+    mesh=None,
 ):
     """Solve a provider's LP by restarted PDHG, then (optionally) cross
     over to the exact simplex/certification pipeline.
+
+    ``mesh`` shards the PDHG phase over a device mesh (rows over "batch",
+    columns over "col" — see :func:`pdhg_solve`); the crossover/exact
+    finish stays single-device (it is small: one warm-started simplex).
 
     With ``crossover=True`` returns the driver's certified
     :class:`OptimizationResult` (warm-started from the PDHG basis guess;
@@ -314,7 +356,7 @@ def solve_first_order(
 
     x_s, y_s, stats = pdhg_solve(
         A_s, b_s, c_s, u, tol=tol, max_iters=max_iters, chunk=chunk,
-        dtype=dtype,
+        dtype=dtype, mesh=mesh,
     )
     # Lift back to the full standard form: bound-row slacks s_r = u - x_j.
     x = np.zeros(A.shape[1])
