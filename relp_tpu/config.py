@@ -70,8 +70,17 @@ class SolverConfig:
     refactor_period: int = 60
 
     # How many simplex iterations to run per jitted device chunk before the
-    # host checks status.  Must be <= refactor_period.
+    # host checks status.  Must be <= refactor_period unless device_refactor
+    # handles the cadence inside the chunk.
     chunk_size: int = 60
+
+    # Scenario-batch driver only: run the refactorization cadence *inside*
+    # the jitted chunk (vmapped Newton-Schulz refresh every refactor_period
+    # loop steps, batch.py batched_run_chunk) so one dispatch can carry
+    # several refactor periods of pivots.  Each dispatch through the axon
+    # tunnel costs ~35 ms; with this on, chunk_size may exceed
+    # refactor_period and the host round-trip count drops proportionally.
+    device_refactor: bool = False
 
     # Iteration budget (0 = no limit beyond a very large default).
     max_iterations: int = 200_000
@@ -189,7 +198,7 @@ class SolverConfig:
             raise ValueError(f"unsupported pricing rule {self.pricing!r}")
         if self.dtype == "float64":
             _enable_x64()
-        if self.chunk_size > self.refactor_period:
+        if self.chunk_size > self.refactor_period and not self.device_refactor:
             self.chunk_size = self.refactor_period
 
 

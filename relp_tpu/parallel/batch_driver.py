@@ -35,6 +35,143 @@ from relp_tpu.simplex.result import OptimizationResult, SolveStats, SolveStatus
 from relp_tpu.simplex.state import OPTIMAL, RUNNING, SINGULAR
 
 
+# ---------------------------------------------------------------------------
+# Module-level jitted steps.
+#
+# These MUST live at module scope: a ``jax.jit`` applied to a closure defined
+# inside ``solve_batch`` is a fresh Python object per call, so every
+# ``solve_batch`` invocation retraced and re-requested compilation for every
+# chunk signature — through the axon tunnel each such request costs seconds
+# even on a remote-compile-cache hit.  Measured on ADLITTLE B=64: 5-7 s per
+# chunk dispatch of which the actual device execution is ~0.1-0.3 ms per
+# lockstep iteration (scripts/probe_batch_overhead.py); hoisting these cut a
+# steady-state scenario family from ~21 s to the device-bound floor.  All
+# problem arrays are arguments, all configuration is static kwargs, so
+# repeated solve_batch calls with the same shapes reuse the compiled
+# executables.
+# ---------------------------------------------------------------------------
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from relp_tpu.simplex import kernels as _kernels
+
+
+@functools.partial(jax.jit, static_argnames=("newton_steps",))
+def _v_refactor(A, b, c, basis, *, newton_steps):
+    return jax.vmap(
+        lambda A, b, c, bas: _kernels.refactorize(
+            A, b, c, bas, newton_steps=newton_steps
+        ),
+        in_axes=(0, 0, 0, 0),
+    )(A, b, c, basis)
+
+
+@jax.jit
+def _v_gamma(Binv, A_scan, in_basis):
+    return jax.vmap(_kernels.recompute_gamma, in_axes=(0, 0, 0))(
+        Binv, A_scan, in_basis
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("steps",))
+def _v_newton(Binv, A, b, c, basis, *, steps):
+    return jax.vmap(
+        lambda Binv, A, b, c, bas: _kernels.newton_refresh(
+            Binv, A, b, c, bas, steps=steps
+        ),
+        in_axes=(0, 0, 0, 0, 0),
+    )(Binv, A, b, c, basis)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "pricing", "chunk", "opt_tol", "pivot_tol", "degen_tol",
+        "noisy_scan", "stop_at_zero", "hi_scan", "mega", "interpret",
+        "newton_steps", "feas_tol", "refactor_period", "use_steepest",
+    ),
+)
+def _batch_step(
+    batch, A_scan, A, b, c, cand, *,
+    pricing, chunk, opt_tol, pivot_tol, degen_tol, noisy_scan,
+    stop_at_zero, hi_scan, mega, interpret,
+    newton_steps, feas_tol, refactor_period, use_steepest,
+):
+    """One chunk of pivots + Newton-Schulz refresh + gamma refresh as a
+    single fused dispatch, returning (new batch, packed (4, B) report) so
+    the host needs exactly one small pull per chunk.  Tunnel round trips
+    cost ~35 ms each and dominated this driver when chunk, refactor, gamma,
+    and the status/obj/iteration pulls each went separately (measured: 2.9k
+    end-to-end pivots/s vs 314k inside the loop)."""
+    from relp_tpu.parallel.batch import (
+        batched_run_chunk,
+        megakernel_run_chunk,
+    )
+
+    it_before = batch.iteration
+    if mega:
+        batch = megakernel_run_chunk(
+            batch, A, c, cand, stop_at_zero=stop_at_zero,
+            interpret=interpret, hi_scan=hi_scan,
+            chunk=chunk, opt_tol=opt_tol, pivot_tol=pivot_tol,
+            degen_tol=degen_tol,
+        )
+    else:
+        batch = batched_run_chunk(
+            batch, A_scan, A, c, cand, stop_at_zero=stop_at_zero,
+            hi_scan=hi_scan, pricing=pricing, chunk=chunk, opt_tol=opt_tol,
+            pivot_tol=pivot_tol, degen_tol=degen_tol, noisy_scan=noisy_scan,
+            refactor_period=refactor_period,
+            b=b if refactor_period > 0 else None,
+            newton_steps=newton_steps, feas_tol=feas_tol,
+        )
+    rearm = jnp.zeros_like(batch.status, dtype=bool)
+    if noisy_scan and not hi_scan:
+        # On accelerators the in-chunk reduced costs are fast-path
+        # (single-pass bf16) and OPTIMAL may be a scan-noise freeze.
+        # Only an OPTIMAL reached with ZERO pivots this chunk — i.e.
+        # decided by the clean (HIGHEST-precision) chunk-entry d — is
+        # final; anything else re-arms, and the host switches the phase
+        # to polish chunks (hi_scan: exact HIGHEST-precision scans) so
+        # the sub-noise optimality tail terminates instead of thrashing
+        # at one pivot per chunk dispatch.
+        rearm = (batch.status == OPTIMAL) & (batch.iteration > it_before)
+        batch = batch._replace(
+            status=jnp.where(rearm, RUNNING, batch.status)
+        )
+    report = jnp.stack(
+        [
+            batch.status.astype(A.dtype),
+            batch.obj.astype(A.dtype),
+            batch.iteration.astype(A.dtype),
+            rearm.astype(A.dtype),
+        ]
+    )
+    # Newton-Schulz refresh of the carried inverses (pure batched
+    # matmuls) — batched linalg.inv is pathologically slow on TPU.
+    Binv, xB, pi, obj, residual = _v_newton(
+        batch.Binv, A, b, c, batch.basis, steps=2 if newton_steps <= 1 else 3
+    )
+    xB = jnp.where(xB > -feas_tol, jnp.maximum(xB, 0.0), xB)
+    # Numerical breakdown (NaN/diverged carry, e.g. a near-singular f32
+    # basis): freeze the LP as SINGULAR instead of letting NaN state
+    # burn lockstep chunks until the cap; it falls back per-LP at
+    # extraction like any other non-OPTIMAL member.
+    broke = (~jnp.isfinite(residual)) | (residual > 1.0)
+    batch = batch._replace(
+        Binv=Binv, xB=xB, pi=pi, obj=obj,
+        status=jnp.where(
+            broke & (batch.status == RUNNING), SINGULAR, batch.status
+        ).astype(batch.status.dtype),
+    )
+    if use_steepest:
+        batch = batch._replace(gamma=_v_gamma(Binv, A_scan, batch.in_basis))
+    return batch, report
+
+
 def solve_batch(
     providers: Sequence[MatrixProvider],
     config: Optional[SolverConfig] = None,
@@ -146,23 +283,6 @@ def solve_batch(
     from relp_tpu.simplex import kernels
 
     newton = 3 if cfg.dtype == "float64" else 1
-    v_refactor = jax.jit(
-        jax.vmap(
-            lambda A, b, c, basis: kernels.refactorize(
-                A, b, c, basis, newton_steps=newton
-            ),
-            in_axes=(0, 0, 0, 0),
-        )
-    )
-    v_gamma = jax.jit(jax.vmap(kernels.recompute_gamma, in_axes=(0, 0, 0)))
-    v_newton = jax.jit(
-        jax.vmap(
-            lambda Binv, A, b, c, basis: kernels.newton_refresh(
-                Binv, A, b, c, basis, steps=2 if newton <= 1 else 3
-            ),
-            in_axes=(0, 0, 0, 0, 0),
-        )
-    )
 
     from relp_tpu.simplex.kernels import noisy_f32_matmul
 
@@ -179,16 +299,22 @@ def solve_batch(
         degen_tol=cfg.feas_tol,
         noisy_scan=noisy_backend,
     )
+    # In-chunk refactorization cadence (batched_run_chunk): one dispatch
+    # carries chunk_size pivots with a vmapped Newton-Schulz refresh every
+    # refactor_period loop steps, instead of one host round trip per
+    # refactor period.  0 disables (the default: the per-chunk refresh in
+    # _batch_step covers chunk_size <= refactor_period).  The megakernel
+    # path keeps its own VMEM-resident scheme and ignores this.
+    in_chunk_period = cfg.refactor_period if cfg.device_refactor else 0
 
     def refactor(batch, c):
-        Binv, xB, pi, obj, residual = v_refactor(A, b, c, batch.basis)
+        Binv, xB, pi, obj, residual = _v_refactor(
+            A, b, c, batch.basis, newton_steps=newton
+        )
         xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
         return batch._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), residual
 
-    from relp_tpu.parallel.batch import (
-        megakernel_applicable,
-        megakernel_run_chunk,
-    )
+    from relp_tpu.parallel.batch import megakernel_applicable
 
     use_megakernel = (
         cfg.pallas_batch
@@ -196,78 +322,34 @@ def solve_batch(
         and megakernel_applicable(A, cfg.dtype, cfg.scan_dtype, pricing, mesh)
     )
 
+    _interpret = jax.default_backend() == "cpu"
+
     def step(batch, c, stop_at_zero, hi_scan, mega):
-        """One chunk of pivots + refactorization + gamma/d refresh as a
-        single fused dispatch, returning a packed (4, B) report array so the
-        host needs exactly one small pull per chunk.  Tunnel round trips
-        cost ~35 ms each and dominated this driver when chunk, refactor,
-        gamma, and the status/obj/iteration pulls each went separately
-        (measured: 2.9k end-to-end pivots/s vs 314k inside the loop)."""
-        it_before = batch.iteration
-        if mega:
-            import jax as _jax
-
-            batch = megakernel_run_chunk(
-                batch, A, c, cand, stop_at_zero=stop_at_zero,
-                interpret=_jax.default_backend() == "cpu",
-                hi_scan=hi_scan,
-                **{
-                    k: v
-                    for k, v in kwargs.items()
-                    if k not in ("pricing", "noisy_scan")
-                },
-            )
-        else:
-            batch = batched_run_chunk(
-                batch, A_scan, A, c, cand, stop_at_zero=stop_at_zero,
-                hi_scan=hi_scan, **kwargs
-            )
-        rearm = jnp.zeros_like(batch.status, dtype=bool)
-        if noisy_backend and not hi_scan:
-            # On accelerators the in-chunk reduced costs are fast-path
-            # (single-pass bf16) and OPTIMAL may be a scan-noise freeze.
-            # Only an OPTIMAL reached with ZERO pivots this chunk — i.e.
-            # decided by the clean (HIGHEST-precision) chunk-entry d — is
-            # final; anything else re-arms, and the host switches the phase
-            # to polish chunks (hi_scan: exact HIGHEST-precision scans) so
-            # the sub-noise optimality tail terminates instead of thrashing
-            # at one pivot per chunk dispatch.
-            rearm = (batch.status == OPTIMAL) & (batch.iteration > it_before)
-            batch = batch._replace(
-                status=jnp.where(rearm, RUNNING, batch.status)
-            )
-        report = jnp.stack(
-            [
-                batch.status.astype(A.dtype),
-                batch.obj.astype(A.dtype),
-                batch.iteration.astype(A.dtype),
-                rearm.astype(A.dtype),
-            ]
+        """One chunk through the module-level jitted :func:`_batch_step`
+        (pivots + Newton-Schulz refresh + gamma refresh fused into a single
+        dispatch with one packed (4, B) report pull)."""
+        return _batch_step(
+            batch, A_scan, A, b, c, cand,
+            stop_at_zero=stop_at_zero, hi_scan=hi_scan, mega=mega,
+            interpret=_interpret, newton_steps=newton,
+            feas_tol=cfg.feas_tol, refactor_period=in_chunk_period,
+            use_steepest=pricing == PRICE_STEEPEST, **kwargs,
         )
-        # Newton-Schulz refresh of the carried inverses (pure batched
-        # matmuls) — batched linalg.inv is pathologically slow on TPU.
-        Binv, xB, pi, obj, residual = v_newton(batch.Binv, A, b, c, batch.basis)
-        xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
-        # Numerical breakdown (NaN/diverged carry, e.g. a near-singular f32
-        # basis): freeze the LP as SINGULAR instead of letting NaN state
-        # burn lockstep chunks until the cap; it falls back per-LP at
-        # extraction like any other non-OPTIMAL member.
-        broke = (~jnp.isfinite(residual)) | (residual > 1.0)
-        batch = batch._replace(
-            Binv=Binv, xB=xB, pi=pi, obj=obj,
-            status=jnp.where(
-                broke & (batch.status == RUNNING), SINGULAR, batch.status
-            ).astype(batch.status.dtype),
-        )
-        if pricing == PRICE_STEEPEST:
-            batch = batch._replace(gamma=v_gamma(Binv, A_scan, batch.in_basis))
-        return batch, report
 
-    step = jax.jit(step, static_argnames=("stop_at_zero", "hi_scan", "mega"))
+    _timing = _os.environ.get("RELP_TPU_BATCH_TIMING", "")
+
+    def _t(label, t_from):
+        if _timing:
+            print(f"  [batch-timing] {label}: {time.time() - t_from:.3f}s",
+                  flush=True)
+        return time.time()
 
     def run_phase(batch, c, stop_at_zero, mega=None):
+        t = time.time()
         if pricing == PRICE_STEEPEST:
-            batch = batch._replace(gamma=v_gamma(batch.Binv, A_scan, batch.in_basis))
+            batch = batch._replace(
+                gamma=_v_gamma(batch.Binv, A_scan, batch.in_basis)
+            )
         # The batched loop has no per-LP Bland/perturbation machinery; a few
         # degenerate stragglers must not hold the whole batch hostage.  LPs
         # still RUNNING after the cap fall back to the single-LP driver.
@@ -275,12 +357,16 @@ def solve_batch(
             max(1, cfg.max_iterations // max(1, cfg.chunk_size)) + 2, 60
         )
         hi = False
-        for _ in range(max_chunks):
+        for _chunk_i in range(max_chunks):
             batch, report = step(
                 batch, c, stop_at_zero, hi,
                 use_megakernel if mega is None else mega,
             )
             report = np.asarray(report)
+            t = _t(
+                f"phase(stop_at_zero={stop_at_zero}) chunk {_chunk_i} "
+                f"(hi={hi})", t,
+            )
             status = report[0].astype(np.int32)
             obj = report[1]
             running = status == RUNNING
@@ -411,6 +497,7 @@ def solve_batch(
         # immediately at zero objective).
         batch = run_phase(batch, c1, stop_at_zero=True)
         phase1_iters = np.asarray(batch.iteration).copy()
+        _t("phase 1 total", t0)
 
         # Phase transition: real costs, reset status for feasible LPs.
         feasible = np.asarray(batch.obj) <= cfg.phase1_tol
@@ -424,10 +511,12 @@ def solve_batch(
     # scan-dominated, so VMEM residency buys nothing, and the megakernel's
     # hardware noise guards cost extra pivots on already-optimal bases
     # (measured: 72 vs 3 pivots/LP on warm ADLITTLE at B=1024/256).
+    _t2 = time.time()
     batch = run_phase(
         batch, c2, stop_at_zero=False,
         mega=use_megakernel and not warm_engaged,
     )
+    _t("phase 2 total", _t2)
     if mixed:
         status = np.asarray(batch.status)
         polish = np.where(status == OPTIMAL, RUNNING, status)
@@ -440,8 +529,10 @@ def solve_batch(
     # spuriously OPTIMAL status).  The refactorize residual and the
     # basis-exact xB feasibility gate below route such LPs to the single-LP
     # driver fallback instead of returning garbage as FINITE_OPTIMUM.
+    _t3 = time.time()
     batch, final_residual = refactor(batch, c2)
     final_residual = np.asarray(final_residual)
+    _t("final refactor", _t3)
 
     wall = time.time() - t0
 

@@ -26,6 +26,13 @@ def main():
                         help="exactly certify this many scenarios (host cost)")
     parser.add_argument("--megakernel", action="store_true",
                         help="use the fused Pallas batched-pivot megakernel")
+    parser.add_argument("--device-cadence", action="store_true",
+                        help="run the refactorization cadence inside the "
+                             "jitted chunk (batched_run_chunk refactor_"
+                             "period) so one dispatch carries --chunk pivots")
+    parser.add_argument("--chunk", type=int, default=150,
+                        help="pivots per dispatch (with --device-cadence "
+                             "this may exceed the 150-pivot refactor period)")
     parser.add_argument("--warm", action="store_true",
                         help="solve the unperturbed base once, then dual-"
                              "warm-restart every scenario from its optimal "
@@ -73,8 +80,8 @@ def main():
     build_s = time.time() - t0
 
     cfg = SolverConfig(
-        pad_to=128, chunk_size=150, refactor_period=150,
-        pallas_batch=args.megakernel,
+        pad_to=128, chunk_size=args.chunk, refactor_period=150,
+        pallas_batch=args.megakernel, device_refactor=args.device_cadence,
     )
     warm_basis = None
     if args.warm:
