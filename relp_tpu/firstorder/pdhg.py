@@ -108,6 +108,48 @@ def _kkt(A, b, c, u, x, y) -> Tuple[float, float, float]:
     return pr, du, gap
 
 
+def _pdhg_chunk(x, y, ax, ay, k0, tau, sigma, A, b, c, u, *, chunk):
+    """Reflected Halpern PDHG (cuPDLPx / Lu-Yang r2HPDHG):
+    ``z+ = (k+1)/(k+2) * (2 T(z) - z) + 1/(k+2) * anchor``.
+    Returns the advanced state plus the last plain PDHG iterate ``T(z)``
+    (the candidate whose KKT residuals are measured).
+
+    Module-level jit (installed below on first use): a per-``pdhg_solve``
+    jitted closure would retrace per call — costly when crossover solves
+    many same-shape LPs (B&B node families, scenario sweeps)."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    tau = jnp.asarray(tau, A.dtype)
+    sigma = jnp.asarray(sigma, A.dtype)
+
+    def body(i, carry):
+        x, y, xt, yt = carry
+        g = c - y @ A
+        x_t = jnp.clip(x - tau * g, 0.0, u)
+        y_t = y + sigma * (b - (2.0 * x_t - x) @ A.T)
+        lam = ((k0 + i + 1.0) / (k0 + i + 2.0)).astype(A.dtype)
+        x_new = lam * (2.0 * x_t - x) + (1.0 - lam) * ax
+        y_new = lam * (2.0 * y_t - y) + (1.0 - lam) * ay
+        return x_new, y_new, x_t, y_t
+
+    x, y, x_t, y_t = lax.fori_loop(0, chunk, body, (x, y, x, y))
+    return x, y, x_t, y_t
+
+
+_PDHG_CHUNK_JITTED = None
+
+
+def _pdhg_chunk_jitted():
+    """Lazy singleton jit of :func:`_pdhg_chunk` (jax imports stay lazy)."""
+    global _PDHG_CHUNK_JITTED
+    if _PDHG_CHUNK_JITTED is None:
+        import jax
+
+        _PDHG_CHUNK_JITTED = jax.jit(_pdhg_chunk, static_argnames=("chunk",))
+    return _PDHG_CHUNK_JITTED
+
+
 def pdhg_solve(
     A_np: np.ndarray,
     b_np: np.ndarray,
@@ -195,28 +237,10 @@ def pdhg_solve(
     w = float(np.linalg.norm(cs) / max(np.linalg.norm(bs), 1e-12)) or 1.0
     w = min(max(w, 1e-4), 1e4)
 
-    @jax.jit
     def run_chunk(x, y, ax, ay, k0, tau, sigma):
-        """Reflected Halpern PDHG (cuPDLPx / Lu-Yang r2HPDHG):
-        ``z+ = (k+1)/(k+2) * (2 T(z) - z) + 1/(k+2) * anchor``.
-        Returns the advanced state plus the last plain PDHG iterate
-        ``T(z)`` (the candidate whose KKT residuals are measured)."""
-
-        tau = jnp.asarray(tau, A.dtype)
-        sigma = jnp.asarray(sigma, A.dtype)
-
-        def body(i, carry):
-            x, y, xt, yt = carry
-            g = c - y @ A
-            x_t = jnp.clip(x - tau * g, 0.0, u)
-            y_t = y + sigma * (b - (2.0 * x_t - x) @ A.T)
-            lam = ((k0 + i + 1.0) / (k0 + i + 2.0)).astype(A.dtype)
-            x_new = lam * (2.0 * x_t - x) + (1.0 - lam) * ax
-            y_new = lam * (2.0 * y_t - y) + (1.0 - lam) * ay
-            return x_new, y_new, x_t, y_t
-
-        x, y, x_t, y_t = lax.fori_loop(0, chunk, body, (x, y, x, y))
-        return x, y, x_t, y_t
+        return _pdhg_chunk_jitted()(
+            x, y, ax, ay, k0, tau, sigma, A, b, c, u, chunk=chunk
+        )
 
     x = jnp.zeros_like(c)
     y = jnp.zeros_like(b)
