@@ -411,3 +411,24 @@ def test_batch_f64_rescue_ill_conditioned_basis():
         assert abs(r.objective - cold.objective) <= 1e-5 * (
             1 + abs(cold.objective)
         )
+
+
+def test_solve_batch_device_refactor_cadence():
+    """solve_batch with SolverConfig.device_refactor: the in-chunk cadence
+    (one dispatch carrying several refactor periods of pivots) reproduces
+    the host-cadence verdicts and exact objectives on a netlib problem."""
+    from relp_tpu.parallel.batch_driver import solve_batch
+
+    md, _ = _netlib_matrix_data("SCAGR7.SIF")
+    base = SolverConfig(pad_to=64, chunk_size=30, refactor_period=30)
+    cadence = SolverConfig(
+        pad_to=64, chunk_size=120, refactor_period=30, device_refactor=True
+    )
+    assert cadence.chunk_size == 120  # the clamp is skipped in this mode
+    a = solve_batch([md], base, certify=True)
+    md2, _ = _netlib_matrix_data("SCAGR7.SIF")
+    b = solve_batch([md2], cadence, certify=True)
+    assert a[0].status is SolveStatus.FINITE_OPTIMUM
+    assert b[0].status is SolveStatus.FINITE_OPTIMUM
+    assert a[0].stats.certified and b[0].stats.certified
+    assert a[0].exact_objective == b[0].exact_objective
