@@ -31,6 +31,12 @@ def main(argv=None) -> int:
     solve.add_argument("--prescale", action="store_true")
     solve.add_argument("--json", action="store_true", help="machine-readable output")
     solve.add_argument("--save-basis", help="write the optimal basis to this path")
+    solve.add_argument(
+        "--certificate",
+        help="write an exact JSON certificate (optimal point + duals, "
+        "Farkas ray, or improving ray) verifiable with "
+        "`python -m relp_tpu verify FILE CERT`",
+    )
     solve.add_argument("--values", action="store_true", help="print variable values")
     solve.add_argument(
         "--mip",
@@ -86,11 +92,43 @@ def main(argv=None) -> int:
         help="wall-clock budget in seconds for branch & bound",
     )
 
+    verify = sub.add_parser(
+        "verify",
+        help="independently verify an exact certificate against a file "
+        "(pure rational arithmetic, no solver state)",
+    )
+    verify.add_argument("path", help="the MPS/SIF file the certificate is for")
+    verify.add_argument("certificate", help="JSON certificate path")
+    verify.add_argument(
+        "--no-presolve", action="store_true",
+        help="must match the flag the certificate was produced with",
+    )
+
     args = parser.parse_args(argv)
 
     from relp_tpu.config import SolverConfig
     from relp_tpu.io import load_general_form
     from relp_tpu.simplex import SolveStatus, solve_general_form
+
+    if args.command == "verify":
+        from relp_tpu.data.elements import LinearProgramError
+        from relp_tpu.exact.certificate import (
+            load_certificate,
+            verify_certificate,
+        )
+
+        gf = load_general_form(args.path)
+        if not args.no_presolve:
+            try:
+                gf.presolve()
+            except LinearProgramError:
+                print("not verifiable: presolve decides this LP outright")
+                return 1
+        counts = gf.standardize()
+        md = gf.derive_matrix_data(counts)
+        ok, reason = verify_certificate(md, load_certificate(args.certificate))
+        print(f"{'VERIFIED' if ok else 'REJECTED'}: {reason}")
+        return 0 if ok else 1
 
     overrides = {}
     if args.dtype:
@@ -198,6 +236,24 @@ def main(argv=None) -> int:
         from relp_tpu.utils.checkpoint import save_basis
 
         save_basis(args.save_basis, result.basis, {"path": args.path})
+
+    if args.certificate:
+        provider = getattr(result, "provider", None)
+        if provider is None or not result.stats.certified:
+            print(
+                "certificate: not exported (presolve decided the LP outright "
+                "or the verdict is uncertified)",
+                file=sys.stderr,
+            )
+        else:
+            from relp_tpu.exact.certificate import (
+                export_certificate,
+                save_certificate,
+            )
+
+            save_certificate(
+                args.certificate, export_certificate(result, provider)
+            )
 
     if args.json:
         payload = {

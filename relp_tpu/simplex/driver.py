@@ -381,9 +381,11 @@ def solve_relaxation(
     ):
         from relp_tpu.simplex.host_sparse import solve_relaxation_host_sparse
 
-        return solve_relaxation_host_sparse(
+        result = solve_relaxation_host_sparse(
             provider, cfg0, warm_start_basis=warm_start_basis
         )
+        result.provider = provider  # type: ignore[attr-defined]
+        return result
 
     result = _solve_relaxation_once(provider, cfg0, warm_start_basis, mesh)
     # __post_init__ clamps tolerances in place for f32; dtype escalation must
@@ -481,11 +483,30 @@ def solve_relaxation(
             applied.append(
                 "df32" if retry_cfg.carry == "df32" else retry_cfg.dtype
             )
-            warm = result.basis if result.basis else warm_start_basis
+            # The previous attempt's basis is only a usable warm start when
+            # it still matches the full provider: rank repair shrinks it
+            # (removed rows), and INFEASIBLE/phase-1 bases may contain
+            # artificial indices (>= art_offset) that mean nothing to a
+            # fresh lowering.  A stale-shaped warm basis crashed the ladder
+            # on rank-deficient instances (netlib SCORPION under bucketed
+            # lowering).
+            warm = warm_start_basis
+            if (
+                result.basis
+                and not result.stats.removed_rows
+                and (
+                    result.art_offset is None
+                    or all(j < result.art_offset for j in result.basis)
+                )
+            ):
+                warm = result.basis
             result = _solve_relaxation_once(provider, retry_cfg, warm, mesh)
             result.stats.escalations = list(applied)
             if result.stats.certified:
                 break
+    # The provider the verdict refers to, for certificate export
+    # (relp_tpu.exact.certificate) and other post-hoc exact consumers.
+    result.provider = provider  # type: ignore[attr-defined]
     return result
 
 
@@ -656,6 +677,7 @@ def _solve_relaxation_once(
         if status == UNBOUNDED:
             raise AssertionError("phase-1 objective cannot be unbounded")
         if not feasible:
+            phase1_basis = None
             if cfg.certify:
                 # Exact Farkas certificate from the phase-1-optimal basis.
                 from relp_tpu.exact.certify import certify_infeasible
@@ -667,7 +689,10 @@ def _solve_relaxation_once(
                 stats.certified = certify_infeasible(
                     problem.provider, phase1_basis, problem.art_offset
                 )
-            return _finish(cfg, stats, t_start, SolveStatus.INFEASIBLE)
+            return _finish(
+                cfg, stats, t_start, SolveStatus.INFEASIBLE,
+                basis=phase1_basis, art_offset=problem.art_offset,
+            )
 
         # Fresh factorization before zero-level drive-out (the LU engine's
         # eta ring may be full at phase end).
@@ -710,6 +735,7 @@ def _solve_relaxation_once(
     if status == RUNNING:
         return _finish(cfg, stats, t_start, SolveStatus.ITERATION_LIMIT)
     if status == UNBOUNDED:
+        structural = None
         if cfg.certify:
             from relp_tpu.exact.certify import certify_unbounded
 
@@ -721,7 +747,10 @@ def _solve_relaxation_once(
             stats.certified = certify_unbounded(
                 problem.provider, structural, art_offset=problem.art_offset
             )
-        return _finish(cfg, stats, t_start, SolveStatus.UNBOUNDED)
+        return _finish(
+            cfg, stats, t_start, SolveStatus.UNBOUNDED,
+            basis=structural, art_offset=problem.art_offset,
+        )
 
     # --- extract the BFS over provider columns ---
     basis_np = np.asarray(state.basis)
@@ -768,10 +797,13 @@ def _solve_relaxation_once(
 
 
 def _finish(
-    cfg: SolverConfig, stats: SolveStats, t_start: float, status: SolveStatus
+    cfg: SolverConfig, stats: SolveStats, t_start: float, status: SolveStatus,
+    *, basis=None, art_offset=None,
 ) -> OptimizationResult:
     stats.wall_time_s = time.time() - t_start
-    return OptimizationResult(status=status, stats=stats)
+    return OptimizationResult(
+        status=status, stats=stats, basis=basis, art_offset=art_offset
+    )
 
 
 def solve_general_form(
@@ -807,6 +839,9 @@ def solve_general_form(
     counts = gf.standardize()
     matrix_data = gf.derive_matrix_data(counts)
     result = solve_relaxation(matrix_data, cfg)
+    # The provider the verdict refers to, for certificate export
+    # (relp_tpu.exact.certificate) and other post-hoc exact consumers.
+    result.provider = matrix_data  # type: ignore[attr-defined]
     if not result.is_optimal():
         return result, None
 
