@@ -449,7 +449,15 @@ def solve_relaxation(
                 provider, retry_cfg, warm_start_basis, mesh
             )
             result.stats.escalations = list(applied)
-            if result.status is not SolveStatus.NUMERICAL_ERROR:
+            # Keep climbing while the verdict is uncertified: a rung can
+            # return a *wrong but non-numerical* verdict (e.g. a df32
+            # phase 1 stalling above phase1_tol reports INFEASIBLE on a
+            # feasible LP — netlib 25FV47 on TPU; the exact Farkas check
+            # correctly refuses to certify it), and stopping there ships
+            # that verdict even though the next rung solves the LP.
+            if result.status is not SolveStatus.NUMERICAL_ERROR and (
+                not cfg0.certify or result.stats.certified
+            ):
                 break
     elif (
         cfg0.dtype == "float32"
