@@ -147,6 +147,13 @@ def main(argv=None) -> int:
 
     gf = load_general_form(args.path)
     if args.mip:
+        if args.certificate:
+            print(
+                "certificate: --certificate applies to LP solves only "
+                "(a MIP verdict is certified through its exact B&B tree, "
+                "not a single dual witness); no file written",
+                file=sys.stderr,
+            )
         from relp_tpu.mip import solve_mip
 
         mip = solve_mip(
@@ -232,7 +239,10 @@ def main(argv=None) -> int:
     else:
         result, solution = solve_general_form(gf, cfg)
 
-    if args.save_basis and result.basis:
+    if args.save_basis and result.basis and result.is_optimal():
+        # Only optimal bases are valid warm starts: INFEASIBLE/UNBOUNDED
+        # results carry phase-1/final bases that may contain artificial
+        # indices meaningless to a fresh lowering.
         from relp_tpu.utils.checkpoint import save_basis
 
         save_basis(args.save_basis, result.basis, {"path": args.path})

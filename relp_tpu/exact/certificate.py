@@ -162,7 +162,19 @@ def verify_certificate(
     Pure ``fractions.Fraction`` arithmetic, no linear solves, no solver
     state — deliberately re-implementable from the docstring alone.
     Returns ``(ok, reason)``; ``reason`` pinpoints the first failed check.
+    Structurally malformed certificates (missing keys, non-numeric
+    entries, out-of-range indexes) are REJECTED with a reason, never
+    raised — a verifier must be total on adversarial input.
     """
+    try:
+        return _verify_certificate(provider, cert)
+    except (KeyError, ValueError, TypeError, AttributeError, ZeroDivisionError) as exc:
+        return False, f"malformed certificate: {type(exc).__name__}: {exc}"
+
+
+def _verify_certificate(
+    provider: MatrixProvider, cert: dict
+) -> Tuple[bool, str]:
     if cert.get("format") != FORMAT:
         return False, f"unknown format {cert.get('format')!r}"
     m = provider.nr_rows()
@@ -223,6 +235,8 @@ def verify_certificate(
     if status == "unbounded":
         x = {int(j): _parse_frac(v) for j, v in cert["x"].items()}
         ray = {int(j): _parse_frac(v) for j, v in cert["ray"].items()}
+        if any(j < 0 or j >= n for j in x) or any(j < 0 or j >= n for j in ray):
+            return False, "index out of range"
         if any(v < 0 for v in x.values()):
             return False, "feasible point has a negative entry"
         if any(v < 0 for v in ray.values()):

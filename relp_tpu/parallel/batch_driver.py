@@ -692,7 +692,13 @@ def _single_lp_fallback(
     f64 escalation); used for batch members that failed the lockstep path."""
     from relp_tpu.simplex.driver import solve_relaxation
 
-    single_cfg = dataclasses.replace(cfg, certify=certify)
+    # device_refactor is a batched-chunk concept; dropping it re-clamps
+    # chunk_size <= refactor_period in __post_init__ so the single-LP
+    # engine never runs a whole oversized chunk of rank-1 updates between
+    # host refactorizations.
+    single_cfg = dataclasses.replace(
+        cfg, certify=certify, device_refactor=False
+    )
     result = solve_relaxation(provider, single_cfg)
     result.stats.batch_fallback = True
     return result

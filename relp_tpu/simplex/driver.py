@@ -384,7 +384,8 @@ def solve_relaxation(
         result = solve_relaxation_host_sparse(
             provider, cfg0, warm_start_basis=warm_start_basis
         )
-        result.provider = provider  # type: ignore[attr-defined]
+        if not hasattr(result, "provider"):
+            result.provider = provider  # type: ignore[attr-defined]
         return result
 
     result = _solve_relaxation_once(provider, cfg0, warm_start_basis, mesh)
@@ -514,7 +515,10 @@ def solve_relaxation(
                 break
     # The provider the verdict refers to, for certificate export
     # (relp_tpu.exact.certificate) and other post-hoc exact consumers.
-    result.provider = provider  # type: ignore[attr-defined]
+    # setdefault semantics: the inner solve attaches the rank-repaired /
+    # filtered provider its basis actually indexes — never clobber it.
+    if not hasattr(result, "provider"):
+        result.provider = provider  # type: ignore[attr-defined]
     return result
 
 
@@ -697,10 +701,12 @@ def _solve_relaxation_once(
                 stats.certified = certify_infeasible(
                     problem.provider, phase1_basis, problem.art_offset
                 )
-            return _finish(
+            result = _finish(
                 cfg, stats, t_start, SolveStatus.INFEASIBLE,
                 basis=phase1_basis, art_offset=problem.art_offset,
             )
+            result.provider = problem.provider  # type: ignore[attr-defined]
+            return result
 
         # Fresh factorization before zero-level drive-out (the LU engine's
         # eta ring may be full at phase end).
@@ -755,10 +761,12 @@ def _solve_relaxation_once(
             stats.certified = certify_unbounded(
                 problem.provider, structural, art_offset=problem.art_offset
             )
-        return _finish(
+        result = _finish(
             cfg, stats, t_start, SolveStatus.UNBOUNDED,
             basis=structural, art_offset=problem.art_offset,
         )
+        result.provider = problem.provider  # type: ignore[attr-defined]
+        return result
 
     # --- extract the BFS over provider columns ---
     basis_np = np.asarray(state.basis)
@@ -847,9 +855,6 @@ def solve_general_form(
     counts = gf.standardize()
     matrix_data = gf.derive_matrix_data(counts)
     result = solve_relaxation(matrix_data, cfg)
-    # The provider the verdict refers to, for certificate export
-    # (relp_tpu.exact.certificate) and other post-hoc exact consumers.
-    result.provider = matrix_data  # type: ignore[attr-defined]
     if not result.is_optimal():
         return result, None
 

@@ -58,19 +58,19 @@ def main():
     cand_b = jnp.asarray(np.stack(cands))
     b_b = jnp.asarray(np.stack(bs))
 
-    def run(chunk, rep, **kw):
+    def run(chunk, rep, *, tols=1e-7, **kw):
         st = batch._replace(xB=batch.xB + (_ENTROPY * 1e-9 * (rep + 1)))
         t0 = time.time()
         out = batched_run_chunk(
             st, A_b, A_b, c_b, cand_b,
             pricing=kernels.PRICE_STEEPEST, chunk=chunk,
-            opt_tol=1e-7, pivot_tol=1e-7, degen_tol=1e-7, **kw,
+            opt_tol=tols, pivot_tol=tols, degen_tol=tols, **kw,
         )
         total = int(np.asarray(out.iteration).sum())
         return time.time() - t0, total
 
-    def measure(label, **kw):
-        small, big = args.chunks
+    def measure(label, *, chunks=None, **kw):
+        small, big = chunks or args.chunks
         for chunk in (small, big):
             run(chunk, -1, **kw)
         ests = []
@@ -87,9 +87,10 @@ def main():
     measure("plain (bench config)")
     measure("noisy_scan=True", noisy_scan=True)
     measure("hi_scan=True", hi_scan=True)
-    measure("noisy+refactor_period=150", noisy_scan=True,
-            refactor_period=150, b=b_b)
-    measure("tolerances 1e-5 (f32-clamped)", noisy_scan=True)
+    # Chunks must straddle the period or the in-chunk refresh never fires.
+    measure("noisy+refactor_period=150 (chunks 10/320)", noisy_scan=True,
+            refactor_period=150, b=b_b, chunks=(10, 320))
+    measure("tolerances 1e-5 (f32-clamped)", noisy_scan=True, tols=1e-5)
 
 
 if __name__ == "__main__":

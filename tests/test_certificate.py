@@ -181,3 +181,57 @@ def test_certificate_cli_roundtrip(tmp_path):
     )
     assert out.returncode == 1
     assert "REJECTED" in out.stdout
+
+
+def test_certificate_after_rank_repair():
+    """A rank-repaired solve's certificate refers to the row-filtered
+    provider the basis actually indexes (result.provider), and verifies.
+    Regression: solve_relaxation used to clobber result.provider with the
+    unreduced input provider, producing a certificate the verifier itself
+    rejected ('duals have wrong length')."""
+    cfg = SolverConfig(pad_to=8, presolve=False)
+    gf = _gf(
+        Objective.MINIMIZE,
+        [[1, 1], [1, 1], [1, -1]],
+        [
+            RangedConstraintRelation.equal(),
+            RangedConstraintRelation.equal(),
+            RangedConstraintRelation.equal(),
+        ],
+        [4, 4, 0],
+        [1, 2],
+        [(0, None), (0, None)],
+    )
+    result, solution = solve_general_form(gf, cfg)
+    assert result.status is SolveStatus.FINITE_OPTIMUM
+    assert result.stats.removed_rows
+    cert = _roundtrip(export_certificate(result, result.provider))
+    ok, reason = verify_certificate(result.provider, cert)
+    assert ok, reason
+
+
+def test_verifier_total_on_malformed_certificates():
+    """Adversarial/truncated JSON is REJECTED with a reason, never raised."""
+    from relp_tpu.io import load_general_form
+
+    gf = load_general_form(reference_problem("netlib", "AFIRO.SIF"))
+    result, _ = solve_general_form(gf, SolverConfig(pad_to=8))
+    provider = result.provider
+    good = _roundtrip(export_certificate(result, provider))
+
+    mutations = [
+        {"format": "bogus"},
+        {"x": "oops"},
+        {"x": {"0": "abc"}},
+        {"y": "not-a-list"},
+        {"y": ["1/1", None]},
+        {"objective": None},
+        {"status": "sideways"},
+        {"x": {str(10**6): "1/1"}},
+    ]
+    for mut in mutations:
+        bad = _roundtrip(good)
+        bad.update(mut)
+        ok, reason = verify_certificate(provider, bad)
+        assert not ok, mut
+        assert isinstance(reason, str) and reason
