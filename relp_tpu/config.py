@@ -114,6 +114,14 @@ class SolverConfig:
     exact_cleanup: bool = True
     # Maximum number of exact cleanup pivots before giving up.
     exact_cleanup_budget: int = 2_000
+    # Wall-clock budget for the exact cleanup walk.  One exact
+    # Sherman-Morrison pivot is O(m^2) big-rational operations — tens of
+    # seconds at m ~ 1500 — so the pivot budget alone admits multi-hour
+    # walks when a noisy device basis lands far from the exact optimum
+    # (netlib CYCLE on the TPU bf16-noise path).  Exhaustion fails
+    # certification, which sends the driver up the escalation ladder for a
+    # cleaner basis instead of grinding exact pivots.
+    exact_cleanup_time_s: float = 600.0
 
     # Presolve on/off (reference: general_form/mod.rs:351-375).
     presolve: bool = True

@@ -140,6 +140,12 @@ def exact_cleanup(
     fresh O(m^3) mod-p Gauss-Jordan; a failed update — pivot divisible by
     the prime — falls back to a rebuild).
     """
+    import logging
+    import time as _time
+
+    log = logging.getLogger("relp_tpu.exact")
+    t0 = _time.time()
+    time_budget = getattr(cfg, "exact_cleanup_time_s", 600.0)
     pivots = 0
     solver = None
     while True:
@@ -152,8 +158,19 @@ def exact_cleanup(
             return basis, x, y, pivots, False
         if entering is None:
             return basis, x, y, pivots, True
-        if pivots >= cfg.exact_cleanup_budget:
+        elapsed = _time.time() - t0
+        if pivots >= cfg.exact_cleanup_budget or (
+            time_budget and elapsed > time_budget
+        ):
+            log.info(
+                "exact cleanup gave up after %d pivots / %.0fs "
+                "(budget %d pivots / %.0fs) — certification fails and the "
+                "escalation ladder retries with a cleaner basis",
+                pivots, elapsed, cfg.exact_cleanup_budget, time_budget,
+            )
             return basis, x, y, pivots, False
+        if pivots and pivots % 25 == 0:
+            log.info("exact cleanup: %d pivots, %.0fs", pivots, elapsed)
         r = _exact_ratio_test(provider, basis, x, entering, solver)
         if r is None:
             # Exactly unbounded — caller decides.
