@@ -218,3 +218,52 @@ def test_exact_duals_satisfy_strong_duality():
     assert sum(
         (y * b for y, b in zip(result.exact_duals, rhs)), Fraction(0)
     ) == result.exact_objective
+
+
+def test_exact_cleanup_wall_clock_budget():
+    """exact_cleanup_time_s caps a long cleanup walk: with a zero-second
+    budget the walk stops not-optimal after the first pivot check, so the
+    caller (certify_and_repair -> escalation ladder) retries with a
+    cleaner basis instead of grinding O(m^2) exact pivots for hours
+    (netlib CYCLE on the TPU bf16-noise path)."""
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.exact.certify import exact_cleanup
+    from relp_tpu.data.elements import (
+        Objective,
+        RangedConstraintRelation,
+        VariableType,
+    )
+    from relp_tpu.data.general_form import GeneralForm, Variable
+    from relp_tpu.linalg.sparse import SparseColumnMatrix
+
+    m = 8
+    rows = [
+        [F(1) if j in (i, (i + 1) % m) else F(0) for j in range(m)]
+        for i in range(m)
+    ]
+    gf = GeneralForm(
+        objective=Objective.MINIMIZE,
+        constraints=SparseColumnMatrix.from_dense(rows),
+        constraint_types=[RangedConstraintRelation.less() for _ in range(m)],
+        b=[F(i + 2) for i in range(m)],
+        variables=[
+            Variable(VariableType.CONTINUOUS, F(-1), F(0), None)
+            for _ in range(m)
+        ],
+        variable_names=[f"x{j}" for j in range(m)],
+    )
+    counts = gf.standardize()
+    data = gf.derive_matrix_data(counts)
+    n_real = data.nr_columns()
+    slack_basis = [n_real - m + i for i in range(m)]
+
+    cfg = SolverConfig(pad_to=8, exact_cleanup_time_s=1e-9)
+    basis, x, y, pivots, optimal = exact_cleanup(data, list(slack_basis), cfg)
+    assert not optimal
+    assert pivots <= 1
+
+    # An ample budget still reaches the exact optimum (same fixture as
+    # test_exact_cleanup_many_pivots_from_wrong_basis).
+    cfg = SolverConfig(pad_to=8, exact_cleanup_time_s=600.0)
+    _, _, _, pivots, optimal = exact_cleanup(data, list(slack_basis), cfg)
+    assert optimal and pivots >= 5
