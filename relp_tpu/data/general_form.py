@@ -295,6 +295,16 @@ class GeneralForm:
             self.objective = Objective.MINIMIZE
             for variable in self.variables:
                 variable.cost = -variable.cost
+            # fixed_cost accumulated so far (presolve fixings, lower-bound
+            # shifts) is in the original MAXIMIZE sense; negate it so the
+            # whole accounting is coherently in the minimize sense.  The
+            # reference negates only the variable costs (mod.rs:623-631) and
+            # runs this BEFORE transform_variables, leaving presolve-fixed
+            # cost contributions un-negated on maximize problems — an
+            # untested incoherence there; here the reported convention
+            # (Solution carries the minimize-form objective, see the
+            # reference's cook fixture expecting -143/2) holds exactly.
+            self.fixed_cost = -self.fixed_cost
 
     def reorder_constraints_by_type(self) -> List[int]:
         """Stable-sort rows as ==, range, <=, >= (mod.rs:651-716)."""

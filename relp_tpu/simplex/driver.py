@@ -845,7 +845,19 @@ def solve_general_form(
                     status=SolveStatus.FINITE_OPTIMUM, stats=stats
                 )
                 result.stats.certified = True
-                return result, exc.payload
+                solution = exc.payload
+                # The presolve-complete payload is in the original sense
+                # (standardize never ran); convert to the reported
+                # minimize-form convention so maximize problems are
+                # consistent with the simplex-solved path.
+                from relp_tpu.data.elements import Objective
+                from relp_tpu.data.solution import Solution
+
+                if gf.objective is Objective.MAXIMIZE and solution is not None:
+                    solution = Solution(
+                        -solution.objective_value, solution.solution_values
+                    )
+                return result, solution
             if exc.status is LPStatus.INFEASIBLE:
                 return OptimizationResult(SolveStatus.INFEASIBLE, stats=stats), None
             return OptimizationResult(SolveStatus.UNBOUNDED, stats=stats), None
