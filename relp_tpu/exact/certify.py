@@ -185,6 +185,86 @@ def exact_cleanup(
             solver = None  # rare: rebuild from scratch next iteration
 
 
+def exact_dual_cleanup(
+    provider: MatrixProvider,
+    basis: List[int],
+    cfg: SolverConfig,
+    art_offset: Optional[int] = None,
+    solver: "ExactSolver" = None,
+) -> Tuple[List[int], List[Fraction], List[Fraction], int, str]:
+    """Exact dual simplex (Bland) from a dual-feasible, primal-infeasible
+    basis — the state a float "optimal" verdict on an exactly-infeasible LP
+    leaves behind (the float phase 1 tolerated a tiny violation; the exact
+    basic solution has a negative entry).
+
+    Returns ``(basis, x, y, pivots, verdict)`` with verdict one of
+    ``"optimal"`` (primal feasibility restored, reduced costs stay exactly
+    nonnegative by the dual ratio test), ``"infeasible"`` (a row with
+    exactly negative basic value and no negative pivot entry over the real
+    columns — the row of B^-1 is an exact Farkas certificate), or
+    ``"gave_up"`` (budget exhausted / dual feasibility did not hold).
+
+    Anti-cycling: the leaving row is the *smallest basic column index* among
+    exactly-negative rows, and ratio ties pick the smallest entering column
+    index (Bland's rule on the dual problem, guaranteed to terminate).
+    """
+    import time as _time
+
+    t0 = _time.time()
+    time_budget = getattr(cfg, "exact_cleanup_time_s", 600.0)
+    pivots = 0
+    while True:
+        x, y, infeasible_row, entering, solver = certify_basis(
+            provider, basis, solver=solver, art_offset=art_offset
+        )
+        if entering is not None:
+            # Not dual feasible: the dual ratio test below would be unsound.
+            return basis, x, y, pivots, "gave_up"
+        # Leaving candidates: strictly negative basic values.  (A *positive*
+        # basic artificial also flags infeasible_row in certify_basis but is
+        # not repairable by a dual pivot; the caller re-checks it on exit.)
+        neg = [i for i, v in enumerate(x) if v < 0]
+        if not neg:
+            return basis, x, y, pivots, "optimal"
+        if pivots >= cfg.exact_cleanup_budget or (
+            time_budget and _time.time() - t0 > time_budget
+        ):
+            return basis, x, y, pivots, "gave_up"
+        r = min(neg, key=lambda i: basis[i])
+        # Exact row r of B^-1: rho = B^-T e_r.
+        e_r = [Fraction(0)] * len(basis)
+        e_r[r] = Fraction(1)
+        rho = solver.transposed().solve(e_r)
+        in_basis = set(basis)
+        best = None  # (ratio, j)
+        for j in range(provider.nr_columns()):
+            if j in in_basis:
+                continue
+            alpha = Fraction(0)
+            for i, v in provider.column(j).iter_entries():
+                alpha += rho[i] * v
+            if alpha >= 0:
+                continue
+            d = provider.cost_value(j)
+            for i, v in provider.column(j).iter_entries():
+                d -= y[i] * v
+            key = (d / -alpha, j)
+            if best is None or key < best:
+                best = key
+        if best is None:
+            # Row r proves infeasibility: x_r < 0 while (B^-1 A)_r >= 0 for
+            # every real column, so y_f = -rho satisfies y_f^T a_j <= 0 for
+            # all j and y_f^T b = -x_r > 0 — an exact Farkas certificate.
+            return basis, x, y, pivots, "infeasible"
+        j = best[1]
+        basis[r] = j
+        pivots += 1
+        try:
+            solver = solver.replace_column(r, provider.column(j).entries())
+        except ExactSingularError:
+            solver = None  # rare: rebuild from scratch next iteration
+
+
 def certify_and_repair(
     result,
     provider: MatrixProvider,
@@ -192,7 +272,18 @@ def certify_and_repair(
     cfg: SolverConfig,
     art_offset: Optional[int] = None,
 ) -> None:
-    """Certify ``result`` in place; repair with exact pivots if needed."""
+    """Certify ``result`` in place; repair with exact pivots if needed.
+
+    A primal-side failure (the exact basic solution has a negative entry —
+    the float solver shipped a tolerance-level-infeasible "optimum") is
+    repaired by the exact *dual* simplex, which either restores feasibility
+    or proves the LP exactly INFEASIBLE; the verdict is corrected in place
+    (status flip FINITE_OPTIMUM -> INFEASIBLE with ``certified=True``).
+    Without this, an exactly-infeasible LP whose float relaxations look
+    optimal ships as uncertified FINITE_OPTIMUM forever (seen as an
+    infinite branch loop in the exact MIP tree)."""
+    from relp_tpu.simplex.result import SolveStatus
+
     basis = list(basis)
     try:
         x, y, infeasible_row, entering, _solver = certify_basis(
@@ -204,6 +295,37 @@ def certify_and_repair(
                 provider, basis, cfg, art_offset=art_offset
             )
             result.stats.exact_cleanup_pivots = pivots
+        elif (
+            not optimal
+            and cfg.exact_cleanup
+            and infeasible_row is not None
+            and x[infeasible_row] < 0
+        ):
+            basis, x, y, pivots, verdict = exact_dual_cleanup(
+                provider, basis, cfg, art_offset=art_offset, solver=_solver
+            )
+            result.stats.exact_cleanup_pivots = pivots
+            if verdict == "infeasible":
+                result.status = SolveStatus.INFEASIBLE
+                result.objective = None
+                result.bfs = None
+                result.exact_bfs = None
+                result.exact_objective = None
+                result.basis = basis
+                result.art_offset = art_offset
+                result.stats.certified = True
+                return
+            if verdict == "optimal":
+                # Dual pivots keep reduced costs exactly nonnegative, but a
+                # zero-level artificial check still applies below.
+                optimal = all(v >= 0 for v in x) and not (
+                    art_offset is not None
+                    and any(
+                        x[i] != 0
+                        for i, j in enumerate(basis)
+                        if j >= art_offset
+                    )
+                )
     except ExactSingularError:
         result.stats.certified = False
         _fallback_float_bfs(result, provider)

@@ -49,9 +49,14 @@ def import_file(
 
     if native is None:
         native = native_available()
-    if native:
-        return parse_native(text, fixed)
-    return parse_fixed(text) if fixed else parse_free(text)
+    try:
+        if native:
+            return parse_native(text, fixed)
+        return parse_fixed(text) if fixed else parse_free(text)
+    except ParseError as exc:
+        # Outermost frame of the chain: which file failed (reference:
+        # Import::Parse wraps the whole location chain, io/error.rs:70-237).
+        raise exc.wrap(f"while importing {path!r}") from None
 
 
 def load_general_form(path: str, *, fixed: bool | None = None):

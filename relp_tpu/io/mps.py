@@ -190,6 +190,17 @@ def _is_section_header(line: str) -> bool:
     return not line.startswith(" ")
 
 
+def _section_frame(exc: ParseError, section: str, entry=None) -> ParseError:
+    """Chain a section-context frame onto a propagating parse error
+    (reference: the nested Parse file-location chain, io/error.rs:70-237).
+
+    The frame carries the failing line only when the inner error did not
+    already record one (so stale loop variables never mislabel an
+    end-of-section error)."""
+    loc = entry if not exc.locations else None
+    return exc.wrap(f"while parsing the {section} section", loc)
+
+
 def _parse(text: str, fixed: bool) -> MPS:
     lines = list(_into_lines(text))
     pos = 0
@@ -238,24 +249,33 @@ def _parse(text: str, fixed: bool) -> MPS:
     while True:
         entry = peek()
         if entry is None:
-            raise ParseError("Section ended sooner than expected.")
+            raise ParseError("Section ended sooner than expected.").wrap(
+                "while parsing the ROWS section"
+            )
         number, line = entry
         if _is_section_header(line):
             break
         pos += 1
-        row_type, row_name = retriever.one_and_two(line)
-        if row_type == "N":
-            if cost_row_name is not None:
-                raise ParseError("Second cost row detected.", (number, line))
-            cost_row_name = row_name
-        elif row_type == "E":
-            rows.append(Row(row_name, ConstraintRelation.EQUAL))
-        elif row_type == "L":
-            rows.append(Row(row_name, ConstraintRelation.LESS))
-        elif row_type == "G":
-            rows.append(Row(row_name, ConstraintRelation.GREATER))
-        else:
-            raise ParseError(f"Row type {row_type!r} unknown.", (number, line))
+        try:
+            row_type, row_name = retriever.one_and_two(line)
+            if row_type == "N":
+                if cost_row_name is not None:
+                    raise ParseError(
+                        "Second cost row detected.", (number, line)
+                    )
+                cost_row_name = row_name
+            elif row_type == "E":
+                rows.append(Row(row_name, ConstraintRelation.EQUAL))
+            elif row_type == "L":
+                rows.append(Row(row_name, ConstraintRelation.LESS))
+            elif row_type == "G":
+                rows.append(Row(row_name, ConstraintRelation.GREATER))
+            else:
+                raise ParseError(
+                    f"Row type {row_type!r} unknown.", (number, line)
+                )
+        except ParseError as exc:
+            raise _section_frame(exc, "ROWS", (number, line)) from None
 
     if cost_row_name is None:
         raise Inconsistency("No cost name read.")
@@ -302,52 +322,57 @@ def _parse(text: str, fixed: bool) -> MPS:
     while True:
         entry = peek()
         if entry is None:
-            raise ParseError("Section ended sooner than expected.")
+            raise ParseError("Section ended sooner than expected.").wrap(
+                "while parsing the COLUMNS section"
+            )
         number, line = entry
         if _is_section_header(line):
             break
         pos += 1
-        if fixed:
-            marker = None
-            if len(line) > FIELDS[3][0] and _Fixed._field(line, 3) == COLUMN_SECTION_MARKER:
-                marker = _Fixed._field(line, 5)
-            fields = None
-        else:
-            parts = line.split()
-            marker = _Free.is_marker_line(parts)
-            fields = parts
-        if marker is not None:
-            save_column(None)
-            if marker == START_OF_INTEGER:
-                active_type = VariableType.INTEGER
-            elif marker == END_OF_INTEGER:
-                active_type = VariableType.CONTINUOUS
+        try:
+            if fixed:
+                marker = None
+                if len(line) > FIELDS[3][0] and _Fixed._field(line, 3) == COLUMN_SECTION_MARKER:
+                    marker = _Fixed._field(line, 5)
+                fields = None
             else:
-                raise ParseError(f"Marker type {marker!r} unknown.", (number, line))
-            continue
-        if fixed:
-            fields = _Fixed.data_fields(line)
-        if fields is None or len(fields) < 3:
-            raise ParseError("Line contained too few elements.", (number, line))
-        column_name = fields[0]
-        if not column_name and current_name is not None:
-            column_name = current_name  # empty name continues the column
-        if current_name != column_name:
-            save_column(column_name)
-        pairs = fields[1:]
-        if len(pairs) % 2 != 0:
-            raise ParseError("Line contained an unexpected number of elements.", (number, line))
-        for k in range(0, len(pairs), 2):
-            row_name, value_text = pairs[k], pairs[k + 1]
-            value = parse_number(value_text, (number, line))
-            idx = row_index.get(row_name)
-            if idx is None:
-                if row_name == cost_row_name:
-                    cost_values.append((len(columns), value))
+                parts = line.split()
+                marker = _Free.is_marker_line(parts)
+                fields = parts
+            if marker is not None:
+                save_column(None)
+                if marker == START_OF_INTEGER:
+                    active_type = VariableType.INTEGER
+                elif marker == END_OF_INTEGER:
+                    active_type = VariableType.CONTINUOUS
                 else:
-                    raise Inconsistency(f"Row {row_name!r} not known.")
-            else:
-                current_values.append((idx, value))
+                    raise ParseError(f"Marker type {marker!r} unknown.", (number, line))
+                continue
+            if fixed:
+                fields = _Fixed.data_fields(line)
+            if fields is None or len(fields) < 3:
+                raise ParseError("Line contained too few elements.", (number, line))
+            column_name = fields[0]
+            if not column_name and current_name is not None:
+                column_name = current_name  # empty name continues the column
+            if current_name != column_name:
+                save_column(column_name)
+            pairs = fields[1:]
+            if len(pairs) % 2 != 0:
+                raise ParseError("Line contained an unexpected number of elements.", (number, line))
+            for k in range(0, len(pairs), 2):
+                row_name, value_text = pairs[k], pairs[k + 1]
+                value = parse_number(value_text, (number, line))
+                idx = row_index.get(row_name)
+                if idx is None:
+                    if row_name == cost_row_name:
+                        cost_values.append((len(columns), value))
+                    else:
+                        raise Inconsistency(f"Row {row_name!r} not known.")
+                else:
+                    current_values.append((idx, value))
+        except ParseError as exc:
+            raise _section_frame(exc, "COLUMNS", (number, line)) from None
     save_column(None)
 
     column_index: Dict[str, int] = {c.name: j for j, c in enumerate(columns)}
@@ -377,30 +402,35 @@ def _parse(text: str, fixed: bool) -> MPS:
         while True:
             entry = peek()
             if entry is None:
-                raise ParseError(f"Section {section!r} ended sooner than expected.")
+                raise ParseError(
+                    f"Section {section!r} ended sooner than expected."
+                ).wrap(f"while parsing the {section} section")
             number, line = entry
             if _is_section_header(line):
                 break
             pos += 1
-            fields = retriever.data_fields(line)
-            if len(fields) < 3:
-                raise ParseError("Line contained too few elements.", (number, line))
-            group_name = fields[0]
-            if not group_name and g_name is not None:
-                group_name = g_name  # empty name continues the group
-            if g_name != group_name:
-                save_group(group_name)
-            pairs = fields[1:]
-            if len(pairs) % 2 != 0:
-                raise ParseError(
-                    "Line contained an unexpected number of elements.", (number, line)
-                )
-            for k in range(0, len(pairs), 2):
-                row_name, value_text = pairs[k], pairs[k + 1]
-                idx = row_index.get(row_name)
-                if idx is None:
-                    raise Inconsistency(f"Row {row_name!r} not known.")
-                g_values.append((idx, parse_number(value_text, (number, line))))
+            try:
+                fields = retriever.data_fields(line)
+                if len(fields) < 3:
+                    raise ParseError("Line contained too few elements.", (number, line))
+                group_name = fields[0]
+                if not group_name and g_name is not None:
+                    group_name = g_name  # empty name continues the group
+                if g_name != group_name:
+                    save_group(group_name)
+                pairs = fields[1:]
+                if len(pairs) % 2 != 0:
+                    raise ParseError(
+                        "Line contained an unexpected number of elements.", (number, line)
+                    )
+                for k in range(0, len(pairs), 2):
+                    row_name, value_text = pairs[k], pairs[k + 1]
+                    idx = row_index.get(row_name)
+                    if idx is None:
+                        raise Inconsistency(f"Row {row_name!r} not known.")
+                    g_values.append((idx, parse_number(value_text, (number, line))))
+            except ParseError as exc:
+                raise _section_frame(exc, section, (number, line)) from None
         save_group(None)
         return groups
 
@@ -444,36 +474,41 @@ def _parse(text: str, fixed: bool) -> MPS:
         while True:
             entry = peek()
             if entry is None:
-                raise ParseError("Section 'BOUNDS' ended sooner than expected.")
+                raise ParseError(
+                    "Section 'BOUNDS' ended sooner than expected."
+                ).wrap("while parsing the BOUNDS section")
             number, line = entry
             if _is_section_header(line):
                 break
             pos += 1
-            if fixed:
-                kind = _Fixed._field(line, 1)
-                bound_name = _Fixed._field(line, 2)
-                col_name = _Fixed._field(line, 3)
-                value_text = _Fixed._field(line, 4) if len(line) > FIELDS[4][0] else ""
-            else:
-                parts = line.split()
-                if len(parts) < 3:
-                    raise ParseError("Line contained too few elements.", (number, line))
-                kind, bound_name, col_name = parts[0], parts[1], parts[2]
-                value_text = parts[3] if len(parts) > 3 else ""
-            col = column_index.get(col_name)
-            if col is None:
-                raise Inconsistency(f"Column name {col_name!r} unknown")
-            if g_name != bound_name:
-                save_bound_group(bound_name)
-            if kind in ("FR", "MI", "PL", "BV"):
-                bound = BoundValue(kind)
-            elif kind in ("LO", "UP", "FX", "LI", "UI"):
-                if not value_text:
-                    raise ParseError("Bound value missing.", (number, line))
-                bound = BoundValue(kind, parse_number(value_text, (number, line)))
-            else:
-                raise ParseError(f"Bound type {kind!r} unknown.", (number, line))
-            g_bvalues.append((col, bound))
+            try:
+                if fixed:
+                    kind = _Fixed._field(line, 1)
+                    bound_name = _Fixed._field(line, 2)
+                    col_name = _Fixed._field(line, 3)
+                    value_text = _Fixed._field(line, 4) if len(line) > FIELDS[4][0] else ""
+                else:
+                    parts = line.split()
+                    if len(parts) < 3:
+                        raise ParseError("Line contained too few elements.", (number, line))
+                    kind, bound_name, col_name = parts[0], parts[1], parts[2]
+                    value_text = parts[3] if len(parts) > 3 else ""
+                col = column_index.get(col_name)
+                if col is None:
+                    raise Inconsistency(f"Column name {col_name!r} unknown")
+                if g_name != bound_name:
+                    save_bound_group(bound_name)
+                if kind in ("FR", "MI", "PL", "BV"):
+                    bound = BoundValue(kind)
+                elif kind in ("LO", "UP", "FX", "LI", "UI"):
+                    if not value_text:
+                        raise ParseError("Bound value missing.", (number, line))
+                    bound = BoundValue(kind, parse_number(value_text, (number, line)))
+                else:
+                    raise ParseError(f"Bound type {kind!r} unknown.", (number, line))
+                g_bvalues.append((col, bound))
+            except ParseError as exc:
+                raise _section_frame(exc, "BOUNDS", (number, line)) from None
         save_bound_group(None)
         number, line = lines[pos]
         section = line.split()[0]

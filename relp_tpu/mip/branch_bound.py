@@ -692,6 +692,14 @@ def solve_mip(
             if upper[t] < lower[t] or upper[t] < 0:
                 result.nodes_pruned += 1
                 continue
+            if (tuple(lower), tuple(upper)) == (node.lower, node.upper):
+                # The branch did not shrink the box: the node's claimed LP
+                # value lies OUTSIDE its own bounds — a numerically-broken
+                # (necessarily uncertified) node result.  Re-pushing the
+                # identical box loops forever; drop the subtree honestly.
+                result.certified = False
+                result.nodes_pruned += 1
+                continue
             heapq.heappush(
                 heap,
                 _Node(

@@ -267,3 +267,89 @@ def test_exact_cleanup_wall_clock_budget():
     cfg = SolverConfig(pad_to=8, exact_cleanup_time_s=600.0)
     _, _, _, pivots, optimal = exact_cleanup(data, list(slack_basis), cfg)
     assert optimal and pivots >= 5
+
+
+class _TinyProvider:
+    """Minimal standard-form provider for certify-layer unit tests."""
+
+    def __init__(self, columns, b, costs):
+        self._columns = columns  # list of [(row, Fraction)]
+        self._b = b
+        self._costs = costs
+
+    def column(self, j):
+        from relp_tpu.providers.column import SparseColumn
+
+        return SparseColumn(self._columns[j])
+
+    def cost_value(self, j):
+        return self._costs[j]
+
+    def right_hand_side(self):
+        return list(self._b)
+
+    def nr_columns(self):
+        return len(self._columns)
+
+    def nr_rows(self):
+        return len(self._b)
+
+
+def test_exact_dual_cleanup_proves_infeasible():
+    """A dual-feasible basis with an exactly negative basic value and no
+    negative pivot entry: the exact dual simplex must prove INFEASIBLE
+    (the float path shipped this as an uncertified 'optimum' — the seed-62
+    infinite branch loop in the exact MIP fuzz suite)."""
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.exact.certify import certify_and_repair, exact_dual_cleanup
+    from relp_tpu.simplex.result import (
+        OptimizationResult,
+        SolveStatus,
+        SolveStats,
+    )
+
+    # min x1  s.t.  x0 + x1 = -1, x >= 0: exactly infeasible.
+    prov = _TinyProvider(
+        [[(0, F(1))], [(0, F(1))]], [F(-1)], [F(0), F(1)]
+    )
+    cfg = SolverConfig(pad_to=8)
+    basis, x, y, pivots, verdict = exact_dual_cleanup(prov, [0], cfg)
+    assert verdict == "infeasible"
+    assert x == [F(-1)]
+
+    result = OptimizationResult(
+        status=SolveStatus.FINITE_OPTIMUM, objective=0.0, stats=SolveStats()
+    )
+    certify_and_repair(result, prov, [0], cfg)
+    assert result.status is SolveStatus.INFEASIBLE
+    assert result.stats.certified
+    assert result.objective is None
+
+
+def test_exact_dual_cleanup_restores_feasibility():
+    """A repairable primal infeasibility: one exact dual pivot restores
+    x >= 0 and certify_and_repair ships the certified optimum."""
+    from relp_tpu.config import SolverConfig
+    from relp_tpu.exact.certify import certify_and_repair, exact_dual_cleanup
+    from relp_tpu.simplex.result import (
+        OptimizationResult,
+        SolveStatus,
+        SolveStats,
+    )
+
+    # min x0 + 3 x1  s.t.  x0 - x1 = -1, x >= 0: optimum x=(0,1), obj 3.
+    prov = _TinyProvider(
+        [[(0, F(1))], [(0, F(-1))]], [F(-1)], [F(1), F(3)]
+    )
+    cfg = SolverConfig(pad_to=8)
+    basis, x, y, pivots, verdict = exact_dual_cleanup(prov, [0], cfg)
+    assert verdict == "optimal"
+    assert basis == [1] and x == [F(1)] and pivots == 1
+
+    result = OptimizationResult(
+        status=SolveStatus.FINITE_OPTIMUM, objective=0.0, stats=SolveStats()
+    )
+    certify_and_repair(result, prov, [0], cfg)
+    assert result.status is SolveStatus.FINITE_OPTIMUM
+    assert result.stats.certified
+    assert result.exact_objective == F(3)

@@ -189,6 +189,69 @@ def _solve_mip_with_highs(raw):
     return "other", None
 
 
+def _enumerate_mip_oracle(raw, int_idx):
+    """Rigorous fallback oracle: enumerate every integer assignment (the
+    generator gives integer variables small finite boxes) and solve the
+    continuous LP for each with HiGHS ``linprog``.
+
+    Used when ``milp``'s verdict is ambiguous (status 4, "infeasible or
+    unbounded") or its objective disagrees with the exact solver beyond the
+    tight tolerance — HiGHS B&B admits 1e-6 integer infeasibility, which can
+    report an objective slightly *better* than the true exact optimum.
+    Returns the minimize-form optimum like ``_solve_mip_with_highs``.
+    """
+    import itertools
+
+    A, b, c, types, bounds, sense = raw
+    a_ub, b_ub, a_eq, b_eq = [], [], [], []
+    for row, bi, rel in zip(A, b, types):
+        row = row.astype(float)
+        if rel.kind.name == "LESS":
+            a_ub.append(row), b_ub.append(float(bi))
+        elif rel.kind.name == "GREATER":
+            a_ub.append(-row), b_ub.append(-float(bi))
+        elif rel.kind.name == "EQUAL":
+            a_eq.append(row), b_eq.append(float(bi))
+        else:
+            a_ub.append(row), b_ub.append(float(bi))
+            a_ub.append(-row), b_ub.append(-(float(bi) - float(rel.range)))
+    obj = c.astype(float)
+    if sense is Objective.MAXIMIZE:
+        obj = -obj
+    ranges = []
+    for j in int_idx:
+        lo, hi = bounds[j]
+        assert lo is not None and hi is not None, "integer vars must be boxed"
+        ranges.append(range(int(lo), int(hi) + 1))
+    best = None
+    saw_unbounded = False
+    for assignment in itertools.product(*ranges):
+        fixed = list(bounds)
+        for j, v in zip(int_idx, assignment):
+            fixed[j] = (v, v)
+        res = scipy_opt.linprog(
+            obj,
+            A_ub=np.array(a_ub) if a_ub else None,
+            b_ub=np.array(b_ub) if b_ub else None,
+            A_eq=np.array(a_eq) if a_eq else None,
+            b_eq=np.array(b_eq) if b_eq else None,
+            bounds=fixed,
+            method="highs",
+            options={"presolve": False},
+        )
+        if res.status == 0:
+            best = res.fun if best is None else min(best, res.fun)
+        elif res.status == 3:
+            saw_unbounded = True
+        elif res.status != 2:
+            return "other", None
+    if saw_unbounded:
+        return "unbounded", None
+    if best is None:
+        return "infeasible", None
+    return "optimal", best
+
+
 @pytest.mark.parametrize("seed", range(40, 70))
 def test_random_mip_matches_highs(seed):
     """The exact branch & bound (beyond reference scope) against HiGHS B&B."""
@@ -200,7 +263,11 @@ def test_random_mip_matches_highs(seed):
     integrality = np.zeros(n)
     integrality[int_idx] = 1
     truth, obj = _solve_mip_with_highs(raw + (integrality,))
-    assert truth != "other", "HiGHS milp failed; shrink the generator"
+    if truth == "other":
+        # milp collapsed "infeasible or unbounded" (or errored); resolve it
+        # rigorously by enumerating the (small, boxed) integer lattice.
+        truth, obj = _enumerate_mip_oracle(raw, int_idx)
+    assert truth != "other", "both HiGHS oracles failed; shrink the generator"
 
     result = solve_mip(
         gf, SolverConfig(pad_to=8, chunk_size=50, refactor_period=50)
@@ -210,7 +277,14 @@ def test_random_mip_matches_highs(seed):
         assert result.status is SolveStatus.FINITE_OPTIMUM, (seed, result.status)
         assert result.certified, seed
         got = float(result.objective)
-        assert got == pytest.approx(obj, rel=1e-7, abs=1e-7), (
+        if got != pytest.approx(obj, rel=1e-7, abs=1e-7):
+            # HiGHS B&B admits ~1e-6 integer infeasibility, so its reported
+            # optimum can beat the true exact one slightly (seeds 62, 63).
+            # Re-derive the truth by exhaustive enumeration before failing.
+            truth2, obj2 = _enumerate_mip_oracle(raw, int_idx)
+            assert truth2 == "optimal", (seed, truth2)
+            obj = obj2
+        assert got == pytest.approx(obj, rel=1e-6, abs=1e-6), (
             seed,
             result.objective,
             obj,

@@ -182,3 +182,49 @@ def test_parse_fixed_netlib(cpu_config):
     gf = mps_to_general_form(mps)
     assert gf.nr_variables() == 32
     assert gf.nr_constraints() == 27
+
+
+def test_parse_error_location_chain():
+    """Malformed files report the failing line AND the section path —
+    the reference's nested Parse file-location chain (io/error.rs:70-237)."""
+    bad_value = SMALL.replace("LIM2         1.0\n    X2", "LIM2         oops\n    X2")
+    with pytest.raises(ParseError) as ei:
+        parse_free(bad_value)
+    msg = str(ei.value)
+    assert "oops" in msg
+    assert "while parsing the COLUMNS section" in msg
+    assert "at line" in msg
+    # The chain records the failing file location programmatically too.
+    assert ei.value.locations and "oops" in ei.value.locations[0][1]
+
+    bad_row = SMALL.replace(" G  LIM2", " Q  LIM2")
+    with pytest.raises(ParseError) as ei:
+        parse_free(bad_row)
+    msg = str(ei.value)
+    assert "Row type 'Q' unknown." in msg
+    assert "while parsing the ROWS section" in msg
+
+    bad_bound = SMALL.replace(" UP BND1      X1           4.0", " ZZ BND1      X1           4.0")
+    with pytest.raises(ParseError) as ei:
+        parse_free(bad_bound)
+    msg = str(ei.value)
+    assert "Bound type 'ZZ' unknown." in msg
+    assert "while parsing the BOUNDS section" in msg
+
+    truncated = SMALL.split("RHS1      MYEQN")[0]
+    with pytest.raises(ParseError) as ei:
+        parse_free(truncated)
+    assert "while parsing the RHS section" in str(ei.value)
+
+
+def test_import_file_frames_the_path(tmp_path):
+    """import_file adds the outermost which-file frame to the chain."""
+    from relp_tpu.io import import_file
+
+    p = tmp_path / "bad.mps"
+    p.write_text(SMALL.replace(" G  LIM2", " Q  LIM2"))
+    with pytest.raises(ParseError) as ei:
+        import_file(str(p), native=False)
+    msg = str(ei.value)
+    assert "while importing" in msg and "bad.mps" in msg
+    assert "while parsing the ROWS section" in msg
