@@ -92,6 +92,11 @@ class MipResult:
     dive_incumbent: bool = False
     #: LPs spent by the rounding dive heuristic
     dive_lps: int = 0
+    #: the incumbent came from a RINS sub-MIP (relaxation-induced
+    #: neighborhood search); still an exactly certified feasible point.
+    rins_incumbent: bool = False
+    #: RINS rounds that produced a strict improvement
+    rins_improvements: int = 0
 
 
 @dataclass(order=True)
@@ -224,6 +229,9 @@ def solve_mip(
     branching: str = "pseudocost",
     strong_branching: int = 8,
     dive_rounds: int = 30,
+    rins_rounds: int = 0,
+    rins_nodes: int = 200,
+    rins_time_s: float = 120.0,
     rel_gap: object = 0,
     time_limit_s: Optional[float] = None,
     mesh=None,
@@ -273,6 +281,16 @@ def solve_mip(
     otherwise visit thousands of nodes on large MIPs without ever finding
     a feasible point).
 
+    ``rins_rounds`` > 0 runs relaxation-induced neighborhood search after
+    the dive (Danna, Rothberg & Le Pape 2005): every integer variable whose
+    exact incumbent value AGREES with the root-LP value is fixed there, and
+    the resulting sub-MIP — the same original problem with tightened bounds,
+    so every feasible point is feasible for the full MIP — is solved by a
+    recursive exact branch & bound under ``rins_nodes``/``rins_time_s``
+    budgets.  A strictly better certified incumbent replaces the current
+    one (and sharpens wave pruning); rounds repeat with the new agreements
+    until no improvement.  Beyond reference scope.
+
     ``mesh`` (a ``jax.sharding.Mesh`` with "batch" and "col" axes) shards
     every batched stage — node waves, strong branching — over the batch
     axis and the tableau columns over the col axis; single-LP stages
@@ -297,6 +315,9 @@ def solve_mip(
     cfg = config or default_config()
     cfg = dataclasses.replace(cfg, certify=True)
     gf = general_form
+    # RINS rebuilds the ORIGINAL problem with tightened bounds; snapshot it
+    # before presolve/standardize mutate gf in place.
+    gf_snapshot = copy.deepcopy(general_form) if rins_rounds > 0 else None
 
     # MIP-safe bound strengthening: integer bounds round inward exactly.
     for v in gf.variables:
@@ -967,6 +988,84 @@ def solve_mip(
                 result.dive_incumbent = True
                 break
 
+    # --- RINS (relaxation-induced neighborhood search, Danna et al. 2005):
+    # fix every integer variable whose exact incumbent value agrees with
+    # the root-LP value, exactly solve the sub-MIP (the same ORIGINAL
+    # problem with tightened bounds — every feasible point of the sub-MIP
+    # is feasible for the full MIP), adopt a strictly better certified
+    # incumbent, repeat with the new agreements.  Beyond reference scope. ---
+    rins_solution: Optional[Solution] = None
+    if rins_rounds > 0 and incumbent_obj is not None and actives:
+        lp_vals = _exact_values(root, root_provider, gf, actives)
+
+        def _incumbent_orig_values():
+            if rins_solution is not None:
+                return [
+                    rins_solution.value_of(
+                        gf.original_variables[gf.from_active_to_original[k]][0]
+                    )
+                    for k in actives
+                ]
+            vals = incumbent_provider.reconstruct_solution(
+                copy.deepcopy(incumbent_reduced)
+            )
+            out = []
+            for k in actives:
+                var = gf.variables[k]
+                orig = vals.get(k) - var.shift
+                if var.flipped:
+                    orig = -orig
+                out.append(orig)
+            return out
+
+        for _round in range(rins_rounds):
+            if lp_vals is None:
+                break
+            inc_vals = _incumbent_orig_values()
+            sub_gf = copy.deepcopy(gf_snapshot)
+            fixed_ct = 0
+            for t, k in enumerate(actives):
+                orig = gf.from_active_to_original[k]
+                if lp_vals[t] == inc_vals[t]:
+                    v = inc_vals[t]
+                    sub_gf.variables[orig].lower_bound = v
+                    sub_gf.variables[orig].upper_bound = v
+                    fixed_ct += 1
+            if fixed_ct == 0 or fixed_ct == len(actives):
+                break  # nothing to search (or nothing left free)
+            sub = solve_mip(
+                sub_gf,
+                config,
+                batch_width=batch_width,
+                node_limit=rins_nodes,
+                gomory_cuts=gomory_cuts,
+                cut_rounds=cut_rounds,
+                cover_cuts=cover_cuts,
+                branching=branching,
+                strong_branching=strong_branching,
+                dive_rounds=dive_rounds,
+                rins_rounds=0,
+                time_limit_s=rins_time_s,
+                mesh=mesh,
+            )
+            if (
+                sub.status is SolveStatus.FINITE_OPTIMUM
+                and sub.objective is not None
+                and sub.objective < incumbent_obj + fixed_cost
+            ):
+                # The sub-incumbent is an exactly certified feasible point
+                # of the full MIP; adopt it (and sharpen wave pruning).
+                rins_solution = sub.solution
+                incumbent_obj = sub.objective - fixed_cost
+                incumbent_reduced = None
+                incumbent_provider = None
+                result.objective = sub.objective
+                result.rins_incumbent = True
+                result.dive_incumbent = False
+                result.rins_improvements += 1
+            else:
+                break  # no improvement: further rounds would fix the same set
+
     import time as _time
 
     t0 = _time.time()
@@ -1065,10 +1164,19 @@ def solve_mip(
     # The incumbent is exactly optimal only if the tree was exhausted.
     if result.node_limit_hit or result.time_limit_hit or gap_stop:
         result.certified = False
-    reduced = incumbent_provider.reconstruct_solution(incumbent_reduced)
-    result.solution = gf.compute_full_solution_with_reduced_solution(reduced)
-    result.objective = result.solution.objective_value
-    assert result.objective == incumbent_obj + fixed_cost
+    if incumbent_provider is not None:
+        reduced = incumbent_provider.reconstruct_solution(incumbent_reduced)
+        result.solution = gf.compute_full_solution_with_reduced_solution(
+            reduced
+        )
+        result.objective = result.solution.objective_value
+        assert result.objective == incumbent_obj + fixed_cost
+    else:
+        # RINS incumbent: the sub-MIP already produced the full
+        # original-space Solution of the same problem.
+        result.solution = rins_solution
+        result.objective = rins_solution.objective_value
+        assert result.objective == incumbent_obj + fixed_cost
     if result.best_bound is not None:
         result.gap = (result.objective - result.best_bound) / max(
             Fraction(1), abs(result.objective)

@@ -653,6 +653,7 @@ def solve_batch(
         if certify:
             from relp_tpu.exact.certify import certify_and_repair
 
+            _tc = time.time()
             certify_and_repair(
                 result,
                 provider,
@@ -660,6 +661,7 @@ def solve_batch(
                 cfg,
                 art_offset=problem.art_offset,
             )
+            stats.certify_time_s += time.time() - _tc
             if not result.stats.certified:
                 # Documented contract: numerically-troubled LPs fall back to
                 # the single-LP driver (which has the full f64 escalation

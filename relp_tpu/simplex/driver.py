@@ -698,9 +698,11 @@ def _solve_relaxation_once(
                 phase1_basis = [
                     int(basis_np[i]) for i in range(problem.m_real)
                 ]
+                _tc = time.time()
                 stats.certified = certify_infeasible(
                     problem.provider, phase1_basis, problem.art_offset
                 )
+                stats.certify_time_s += time.time() - _tc
             result = _finish(
                 cfg, stats, t_start, SolveStatus.INFEASIBLE,
                 basis=phase1_basis, art_offset=problem.art_offset,
@@ -758,9 +760,11 @@ def _solve_relaxation_once(
             # Zero-level artificials may still be basic; the certifier
             # substitutes them as zero-cost identity columns and requires
             # their exact value to be 0 (no silent certification skip).
+            _tc = time.time()
             stats.certified = certify_unbounded(
                 problem.provider, structural, art_offset=problem.art_offset
             )
+            stats.certify_time_s += time.time() - _tc
         result = _finish(
             cfg, stats, t_start, SolveStatus.UNBOUNDED,
             basis=structural, art_offset=problem.art_offset,
@@ -799,7 +803,9 @@ def _solve_relaxation_once(
     if cfg.certify:
         from relp_tpu.exact.certify import certify_and_repair
 
+        _tc = time.time()
         certify_and_repair(result, problem.provider, structural_basis, cfg)
+        stats.certify_time_s += time.time() - _tc
     else:
         from fractions import Fraction
 

@@ -397,9 +397,11 @@ def solve_relaxation_host_sparse(
     if cfg.certify:
         from relp_tpu.exact.certify import certify_and_repair
 
+        _tc = time.time()
         certify_and_repair(
             result, filtered, [int(j) for j in basis], cfg, art_offset=n_real
         )
+        stats.certify_time_s += time.time() - _tc
     else:
         from fractions import Fraction
 

@@ -36,6 +36,9 @@ class SolveStats:
     exact_cleanup_pivots: int = 0
     certified: bool = False
     wall_time_s: float = 0.0
+    # Host-side exact certification/cleanup wall time (subset of
+    # wall_time_s); wall_time_s - certify_time_s is device pivots + compile.
+    certify_time_s: float = 0.0
     removed_rows: List[int] = field(default_factory=list)
     # True when this LP was part of a batch solve but was routed through the
     # single-LP driver (numerics/certification gate or straggler cap).

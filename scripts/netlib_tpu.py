@@ -4,7 +4,12 @@ All problems lower to one padded shape so jitted kernels compile once and
 are reused across the whole set (remote compiles through the axon tunnel
 cost ~30-90 s each; per-problem shapes would dominate the wall clock).
 
-Usage: python scripts/netlib_tpu.py [--rows 512] [--cols 2048] [names...]
+Per-problem time accounting splits the wall clock into parse / presolve /
+device (pivots + compile) / exact certification, so tail latencies are
+attributable (VERDICT r2: SCRS8 806 s, BNL2 341 s were unexplained).
+
+Usage: python scripts/netlib_tpu.py [--rows 512] [--cols 2048]
+                                    [--out FILE.json] [names...]
 """
 
 import argparse
@@ -32,6 +37,8 @@ def main():
     parser.add_argument("--rows", type=int, default=512)
     parser.add_argument("--cols", type=int, default=2048)
     parser.add_argument("--budget", type=float, default=300.0)
+    parser.add_argument("--out", default=None,
+                        help="append per-problem JSON records to this file")
     parser.add_argument("names", nargs="*")
     args = parser.parse_args()
     names = args.names or DEFAULT_SET
@@ -59,31 +66,51 @@ def main():
 
     cfg = SolverConfig(pad_to=128, chunk_size=200, refactor_period=200)
     print(f"device: {jax.devices()[0]}", flush=True)
+    print(
+        f"{'':5s}{'name':10s} {'objective':>20s} {'iters':>6s} "
+        f"{'parse':>7s} {'presol':>7s} {'device':>8s} {'certify':>8s} "
+        f"{'total':>8s}  cert",
+        flush=True,
+    )
 
+    records = []
     total_pass = 0
     total_t = 0.0
     for name in names:
         expected, tol, ignored = NETLIB_EXPECTED[name]
+        rec = {"name": name, "expected": expected, "tol": tol}
+        t_parse = time.time()
         path = os.path.join(PROBLEM_DIR, f"{name}.SIF")
         gf = mps_to_general_form(parse_fixed(open(path).read()))
+        rec["parse_s"] = round(time.time() - t_parse, 2)
+        presolve_s = 0.0
         if gf.nr_constraints() > args.rows:
             # The bucket check applies to the problem the solver lowers —
             # i.e. after presolve (GREENBEA: 2392 raw rows -> 2218).
             # Presolving here is fine: solve_general_form's own presolve
             # pass then starts from the already-reduced fixpoint.
+            t_pre = time.time()
             try:
                 gf.presolve()
             except LinearProgramError as exc:
                 print(f"PASS {name}: decided by presolve ({exc.status})",
                       flush=True)
+                rec.update(status="presolve", ok=True)
+                records.append(rec)
+                total_pass += 1
                 continue
+            presolve_s = time.time() - t_pre
         if gf.nr_constraints() > args.rows:
-            print(f"SKIP {name}: too many rows for the bucket", flush=True)
+            print(f"SKIP {name}: too many rows for the bucket "
+                  f"({gf.nr_constraints()})", flush=True)
+            rec.update(status="skip_bucket", rows=gf.nr_constraints())
+            records.append(rec)
             continue
         t0 = time.time()
         try:
             result, solution = drv.solve_general_form(gf, cfg)
             dt = time.time() - t0
+            certify_s = result.stats.certify_time_s
             if solution is not None:
                 value = float(solution.objective_value)
                 ok = abs(value - expected) < tol
@@ -91,18 +118,41 @@ def main():
                 value, ok = None, False
             total_pass += ok
             total_t += dt
+            rec.update(
+                status=result.status.value,
+                objective=value,
+                ok=bool(ok),
+                iterations=result.stats.iterations,
+                certified=bool(result.stats.certified),
+                presolve_s=round(presolve_s, 2),
+                device_s=round(dt - certify_s, 2),
+                certify_s=round(certify_s, 2),
+                total_s=round(dt, 2),
+                cleanup_pivots=result.stats.exact_cleanup_pivots,
+                escalations=result.stats.escalations,
+            )
             print(
-                f"{'PASS' if ok else 'FAIL'} {name:10s} obj={value!s:>20s} "
-                f"iters={result.stats.iterations:>6d} t={dt:7.2f}s "
-                f"certified={result.stats.certified}",
+                f"{'PASS' if ok else 'FAIL'} {name:10s} {value!s:>20s} "
+                f"{result.stats.iterations:>6d} {rec['parse_s']:>7.2f} "
+                f"{presolve_s:>7.2f} {dt - certify_s:>8.2f} "
+                f"{certify_s:>8.2f} {dt:>8.2f}  "
+                f"{result.stats.certified}",
                 flush=True,
             )
         except LinearProgramError as exc:
             print(f"FAIL {name}: {exc.status}", flush=True)
+            rec.update(status=f"lp_error:{exc.status}", ok=False)
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: {type(exc).__name__}: {exc}", flush=True)
+            rec.update(status=f"error:{type(exc).__name__}: {exc}", ok=False)
+        records.append(rec)
 
-    print(f"\n{total_pass}/{len(names)} passed, total solve wall {total_t:.1f}s", flush=True)
+    print(f"\n{total_pass}/{len(names)} passed, total solve wall {total_t:.1f}s",
+          flush=True)
+    if args.out:
+        with open(args.out, "a") as f:
+            for rec in records:
+                f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

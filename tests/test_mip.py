@@ -8,6 +8,7 @@ matrix; branches are rhs-only changes) and dual-warm-restarted from the root
 basis.
 """
 
+import copy
 import itertools
 from fractions import Fraction
 
@@ -640,3 +641,46 @@ def test_mip_cover_cuts_close_knapsack_root():
     assert covered.certified and bare.certified
     assert bare.root_objective == Fraction(-24)
     assert covered.root_objective == Fraction(-20)  # cover closes the root
+
+
+def test_mip_rins_preserves_verdicts_and_can_improve():
+    """RINS (rins_rounds>0) never changes the certified verdict, and with a
+    crippled tree (node_limit=1, no dive pruning budget) the RINS sub-MIP
+    still recovers the true optimum as a certified incumbent."""
+    values = [10, 13, 7, 8, 12, 9]
+    weights = [5, 7, 4, 3, 6, 5]
+    W = 14
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [weights],
+        [RangedConstraintRelation.less()],
+        [W],
+        values,
+        [(0, 1)] * 6,
+        [VariableType.INTEGER] * 6,
+    )
+    base = solve_mip(copy.deepcopy(gf), _cfg(), batch_width=4)
+    with_rins = solve_mip(
+        copy.deepcopy(gf), _cfg(), batch_width=4, rins_rounds=2
+    )
+    assert with_rins.status is SolveStatus.FINITE_OPTIMUM
+    assert with_rins.certified
+    assert with_rins.objective == base.objective
+
+    # Crippled tree: the incumbent must come from dive+RINS alone, and the
+    # reported interval stays rigorous.
+    crippled = solve_mip(
+        copy.deepcopy(gf),
+        _cfg(),
+        batch_width=1,
+        node_limit=1,
+        rins_rounds=2,
+        rins_nodes=100,
+    )
+    assert crippled.status is SolveStatus.FINITE_OPTIMUM
+    assert crippled.objective >= base.objective
+    if crippled.rins_incumbent:
+        sol = crippled.solution
+        picked = [sol.value_of(f"x{j}") for j in range(6)]
+        assert all(v in (0, 1) for v in picked)
+        assert sum(w * v for w, v in zip(weights, picked)) <= W
