@@ -687,7 +687,13 @@ def _solve_relaxation_once(
         if status == RUNNING and not feasible:
             return _finish(cfg, stats, t_start, SolveStatus.ITERATION_LIMIT)
         if status == UNBOUNDED:
-            raise AssertionError("phase-1 objective cannot be unbounded")
+            # The phase-1 objective (sum of artificials) is bounded below
+            # by 0: a ratio test that finds no blocking row here is float
+            # noise in the carried inverse, not a real ray.  Route it to
+            # the escalation ladder like any other numerical breakdown
+            # (seen on SCSD8 under the f32 fast path via the first-order
+            # crossover script).
+            return _finish(cfg, stats, t_start, SolveStatus.NUMERICAL_ERROR)
         if not feasible:
             phase1_basis = None
             if cfg.certify:
