@@ -382,6 +382,12 @@ ParseResult* parse_impl(const char* data, size_t size, bool fixed) {
         }
         int64_t row = rows.lookup(rn);
         if (row < 0) {
+          if (kind == 3 && rn == result->cost_row) {
+            // RHS on the objective row: objective constant (kind 7).
+            // The reference errors here (GROW15/GROW22 ship untested).
+            result->records.push_back({7, 0, 0, 0, mantissa, exp10});
+            return true;
+          }
           result->error = "line " + std::to_string(lines[idx].number) +
                           ": unknown row '" + std::string(rn) + "'";
           return false;

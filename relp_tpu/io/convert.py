@@ -38,7 +38,8 @@ def mps_to_general_form(mps: MPS) -> GeneralForm:
         b=b,
         variables=variables,
         variable_names=names,
-        fixed_cost=Fraction(0),
+        # Objective constant from an RHS entry on the cost row (GROW15/22).
+        fixed_cost=mps.objective_constant,
     )
 
 

@@ -97,6 +97,12 @@ class MPS:
     rhss: List[Rhs] = field(default_factory=list)
     ranges: List[RangeGroup] = field(default_factory=list)
     bounds: List[BoundGroup] = field(default_factory=list)
+    #: Constant term of the objective, from an RHS entry on the cost row
+    #: (standard MPS convention: constant = -rhs value).  BEYOND REFERENCE:
+    #: the reference errors on such entries (build_row_index excludes the
+    #: cost row, parse/mod.rs:334-351) and ships GROW15/GROW22 untested;
+    #: both carry "RHS REVENUE 0." lines.
+    objective_constant: Fraction = field(default_factory=lambda: Fraction(0))
 
     def nr_rows(self) -> int:
         return len(self.rows)
@@ -380,8 +386,11 @@ def _parse(text: str, fixed: bool) -> MPS:
         raise Inconsistency("Duplicate column names.")
 
     # --- RHS / RANGES (same shape), then BOUNDS ---
+    objective_constant = [Fraction(0), False]  # value, seen
+
     def parse_value_groups(section: str) -> List[Tuple[str, List[Tuple[int, Fraction]]]]:
         nonlocal pos
+        allow_cost_row = section == "RHS"
         groups: List[Tuple[str, List[Tuple[int, Fraction]]]] = []
         g_name: Optional[str] = None
         g_values: List[Tuple[int, Fraction]] = []
@@ -427,6 +436,15 @@ def _parse(text: str, fixed: bool) -> MPS:
                     row_name, value_text = pairs[k], pairs[k + 1]
                     idx = row_index.get(row_name)
                     if idx is None:
+                        if allow_cost_row and row_name == cost_row_name:
+                            # RHS on the objective row: the constant term is
+                            # the NEGATED rhs (first entry wins, like cost
+                            # coefficients in COLUMNS).
+                            value = parse_number(value_text, (number, line))
+                            if not objective_constant[1]:
+                                objective_constant[0] = -value
+                                objective_constant[1] = True
+                            continue
                         raise Inconsistency(f"Row {row_name!r} not known.")
                     g_values.append((idx, parse_number(value_text, (number, line))))
             except ParseError as exc:
@@ -529,6 +547,7 @@ def _parse(text: str, fixed: bool) -> MPS:
         rhss=rhss,
         ranges=ranges,
         bounds=bounds,
+        objective_constant=objective_constant[0],
     )
 
 

@@ -146,6 +146,8 @@ def parse_native(text: str, fixed: bool) -> MPS:
         bound_order: List[int] = []
         group_names: Dict[int, str] = {}
         integer_mode = False
+        objective_constant = Fraction(0)
+        objective_constant_seen = False
 
         for k in range(n):
             r = records[k]
@@ -174,6 +176,11 @@ def parse_native(text: str, fixed: bool) -> MPS:
                 if r.a not in rhs_order:
                     rhs_order.append(r.a)
                 rhs_groups[r.a].append((remap[r.b], _fraction(r.mantissa, r.exp10)))
+            elif r.kind == 7:
+                # RHS on the objective row: constant = -value, first wins.
+                if not objective_constant_seen:
+                    objective_constant = -_fraction(r.mantissa, r.exp10)
+                    objective_constant_seen = True
             elif r.kind == 4:
                 range_groups.setdefault(r.a, [])
                 if r.a not in range_order:
@@ -235,6 +242,7 @@ def parse_native(text: str, fixed: bool) -> MPS:
             rhss=rhss,
             ranges=ranges,
             bounds=bounds,
+            objective_constant=objective_constant,
         )
     finally:
         lib.mps_free(handle)

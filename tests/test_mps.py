@@ -228,3 +228,26 @@ def test_import_file_frames_the_path(tmp_path):
     msg = str(ei.value)
     assert "while importing" in msg and "bad.mps" in msg
     assert "while parsing the ROWS section" in msg
+
+
+def test_rhs_on_cost_row_is_objective_constant():
+    """An RHS entry targeting the objective row sets the objective constant
+    (constant = -rhs, the standard MPS convention).  BEYOND REFERENCE: the
+    reference errors on such files and ships GROW15/GROW22 untested."""
+    text = SMALL.replace(
+        "    RHS1      LIM1         4.0   LIM2         1.0",
+        "    RHS1      COST        -5.0   LIM1         4.0\n"
+        "    RHS1      LIM2         1.0",
+    )
+    mps = parse_free(text)
+    assert mps.objective_constant == Fraction(5)
+    gf = mps_to_general_form(mps)
+    assert gf.fixed_cost == Fraction(5)
+
+    # GROW15-shaped regression: the real file parses and the constant is 0.
+    grow15 = open(
+        "/root/reference/tests/netlib/problem_files/GROW15.SIF"
+    ).read()
+    mps2 = parse_fixed(grow15)
+    assert mps2.objective_constant == 0
+    assert mps2.nr_rows() == 300
