@@ -312,6 +312,15 @@ def solve_mip(
     if branching not in ("pseudocost", "most_fractional"):
         raise ValueError(f"unknown branching rule {branching!r}")
 
+    import time as _time
+
+    t_entry = _time.time()
+
+    def _time_left() -> Optional[float]:
+        if time_limit_s is None:
+            return None
+        return time_limit_s - (_time.time() - t_entry)
+
     cfg = config or default_config()
     cfg = dataclasses.replace(cfg, certify=True)
     gf = general_form
@@ -428,6 +437,9 @@ def solve_mip(
         )
 
         for _round in range(cut_rounds):
+            left = _time_left()
+            if left is not None and left <= 0:
+                break
             root_vals = _exact_values(root, root_provider, gf, actives)
             if root_vals is None or all(
                 v.denominator == 1 for v in root_vals
@@ -743,6 +755,10 @@ def solve_mip(
     # from the root basis.  Exact bounds/pruning are untouched — outputs
     # are pseudocost seeds (float heuristics) and certified-infeasible
     # root fixings (exact). ---
+    _left = _time_left()
+    if _left is not None and _left <= 0:
+        strong_branching = 0
+        dive_rounds = 0
     if strong_branching > 0 and root_basis is not None:
         sb_vals = _exact_values(root, root_provider, gf, actives)
         sb_frac = (
@@ -906,6 +922,9 @@ def solve_mip(
         best_frac = None
         stalled_rounds = 0
         for _ in range(dive_rounds):
+            left = _time_left()
+            if left is not None and left <= 0:
+                break
             if dive_vals is None:
                 break
             dive_frac = [
@@ -1019,6 +1038,9 @@ def solve_mip(
             return out
 
         for _round in range(rins_rounds):
+            left = _time_left()
+            if left is not None and left <= 0:
+                break
             if lp_vals is None:
                 break
             inc_vals = _incumbent_orig_values()
@@ -1045,7 +1067,11 @@ def solve_mip(
                 strong_branching=strong_branching,
                 dive_rounds=dive_rounds,
                 rins_rounds=0,
-                time_limit_s=rins_time_s,
+                time_limit_s=(
+                    rins_time_s
+                    if _time_left() is None
+                    else max(min(rins_time_s, _time_left()), 0.0)
+                ),
                 mesh=mesh,
             )
             if (
@@ -1066,9 +1092,7 @@ def solve_mip(
             else:
                 break  # no improvement: further rounds would fix the same set
 
-    import time as _time
-
-    t0 = _time.time()
+    t0 = t_entry
     gap_target = (
         rel_gap if isinstance(rel_gap, Fraction) else Fraction(str(rel_gap))
     )

@@ -75,8 +75,36 @@ class _Factors:
         self.etas.append((int(r), w.copy()))
 
 
+def _equilibrate_sparse(M, rounds: int = 3):
+    """Pow-2 Ruiz equilibration of a sparse structural block.
+
+    Returns (scaled, row_scale, col_scale) with scaled = Dr M Dc.  Powers of
+    two keep every float exact, so the equilibration is invisible to the
+    exact pipeline (same rationale as the device lowering's equilibrate,
+    relp_tpu/data/scale/equilibrate.py); b' = Dr b preserves b >= 0 and
+    x_j = col_scale[j] * x'_j undoes it at extraction."""
+    from scipy import sparse
+
+    m, n = M.shape
+    dr = np.ones(m)
+    dc = np.ones(n)
+    absM = abs(M)
+    for _ in range(rounds):
+        rmax = np.asarray(absM.max(axis=1).todense()).ravel()
+        sr = np.where(rmax > 0, 2.0 ** -np.round(np.log2(rmax)), 1.0)
+        absM = sparse.diags(sr) @ absM
+        dr *= sr
+        cmax = np.asarray(absM.max(axis=0).todense()).ravel()
+        sc = np.where(cmax > 0, 2.0 ** -np.round(np.log2(cmax)), 1.0)
+        absM = absM @ sparse.diags(sc)
+        dc *= sc
+    return sparse.diags(dr) @ M @ sparse.diags(dc), dr, dc
+
+
 def _build_arrays(provider: MatrixProvider):
-    """CSC standard-form matrix [real columns | artificial identity]."""
+    """CSC standard-form matrix [real columns | artificial identity],
+    pow-2 equilibrated (PILOT87's 1e10 coefficient range made raw splu
+    refactorizations go exactly singular mid-phase)."""
     from scipy import sparse
 
     m = provider.nr_rows()
@@ -89,19 +117,20 @@ def _build_arrays(provider: MatrixProvider):
             rows.append(i)
             cols.append(j)
             vals.append(float(v))
-    for i in range(m):  # artificial e_i at column n + i
-        rows.append(i)
-        cols.append(n + i)
-        vals.append(1.0)
-    A = sparse.csc_matrix(
-        (vals, (rows, cols)), shape=(m, n + m), dtype=np.float64
+    struct = sparse.csc_matrix(
+        (vals, (rows, cols)), shape=(m, n), dtype=np.float64
     )
-    b = np.array([float(v) for v in provider.right_hand_side()], dtype=np.float64)
+    struct, dr, dc = _equilibrate_sparse(struct)
+    art = sparse.identity(m, format="csc", dtype=np.float64)
+    A = sparse.hstack([struct, art], format="csc")
+    b = dr * np.array(
+        [float(v) for v in provider.right_hand_side()], dtype=np.float64
+    )
     c2 = np.zeros(n + m, dtype=np.float64)
     for j in range(n):
         cost = provider.cost_value(j)
         if cost:
-            c2[j] = float(cost)
+            c2[j] = float(cost) * dc[j]
     c1 = np.zeros(n + m, dtype=np.float64)
     c1[n:] = 1.0
     candidate = np.zeros(n + m, dtype=bool)
@@ -110,7 +139,42 @@ def _build_arrays(provider: MatrixProvider):
     if isinstance(provider, PartialInitialBasis):
         for row, col in provider.pivot_element_indices():
             basis[row] = col
-    return A, b, c1, c2, candidate, basis, n, m
+    return A, b, c1, c2, candidate, basis, n, m, dc
+
+
+def _repair_basis(A, basis, n_real: int, m: int):
+    """Rank-revealing repair of a numerically singular basis: pivoted dense
+    QR finds the dependent basis positions; each is replaced by the
+    artificial of the row where its left-null direction is largest (rows
+    and artificials kept distinct).  Returns the repaired basis, or None
+    when QR says the basis is numerically full-rank after all.
+
+    Only valid during PHASE 1, where artificial columns are legal basis
+    members (cost 1 drives them back out).  Dense O(m^3) — only runs on the
+    rare splu "exactly singular" event (netlib PILOT87)."""
+    import scipy.linalg as sla
+
+    B = A[:, basis].toarray()
+    q, r, piv = sla.qr(B, pivoting=True)
+    diag = np.abs(np.diag(r))
+    tol = max(float(diag.max()) * m * np.finfo(float).eps, 1e-10) if diag.size else 0.0
+    rank = int((diag > tol).sum())
+    if rank >= m:
+        return None
+    taken = set(int(j) for j in basis)
+    used_rows = set()
+    new_basis = basis.copy()
+    for idx, p in enumerate(piv[rank:]):
+        qcol = q[:, rank + idx]  # left-null direction of the kept columns
+        for i in np.argsort(-np.abs(qcol)):
+            i = int(i)
+            art = n_real + i
+            if i not in used_rows and art not in taken:
+                used_rows.add(i)
+                taken.add(art)
+                new_basis[p] = art
+                break
+    return new_basis
 
 
 def _refactor(A, b, c, basis):
@@ -164,7 +228,9 @@ def solve_relaxation_host_sparse(
     stats = SolveStats()
     t_start = time.time()
 
-    A, b, c1, c2, candidate, basis, n_real, m = _build_arrays(provider)
+    A, b, c1, c2, candidate, basis, n_real, m, col_scale = _build_arrays(
+        provider
+    )
     removed_rows: List[int] = []
     pricing = PRICE_STEEPEST if cfg.pricing == "steepest" else PRICE_DANTZIG
 
@@ -203,6 +269,7 @@ def solve_relaxation_host_sparse(
         stall = 0
         last_obj = None
         iters_at_entry = stats.iterations
+        refactor_failures = 0
 
         while True:
             if stop_at_zero and obj <= 1e-9:
@@ -261,8 +328,47 @@ def solve_relaxation_host_sparse(
                 gamma[q] = 1.0
 
             # --- cadence: refactorize, stall/Bland control ---
-            if len(factors.etas) >= cfg.refactor_period:
-                factors, xB, pi, obj = _refactor(A, b, c, basis)
+            if len(factors.etas) >= cfg.refactor_period * (
+                1 + refactor_failures
+            ):
+                try:
+                    factors, xB, pi, obj = _refactor(A, b, c, basis)
+                except RuntimeError:
+                    # superlu "Factor is exactly singular": cancellation
+                    # made the basis numerically rank-deficient (PILOT87
+                    # hits this mid-phase-1).  In phase 1, repair by
+                    # swapping the QR-identified dependent columns for
+                    # their rows' artificials (cost 1 drives them back
+                    # out); otherwise keep pivoting on the still-valid
+                    # product-form factors with a stretched cadence and
+                    # Bland's rule.  Repeated failures give up honestly —
+                    # the exact certifier never sees an unverified verdict
+                    # either way.
+                    refactor_failures += 1
+                    bland = True
+                    repaired = None
+                    if stop_at_zero:
+                        repaired = _repair_basis(
+                            A, basis, A.shape[1] - m, m
+                        )
+                    if repaired is not None:
+                        basis = repaired
+                        in_basis[:] = False
+                        in_basis[basis] = True
+                        gamma = np.ones(A.shape[1])
+                        try:
+                            factors, xB, pi, obj = _refactor(A, b, c, basis)
+                            stats.refactorizations += 1
+                            refactor_failures = 0
+                        except RuntimeError:
+                            pass  # fall through to the failure counter
+                    if refactor_failures > 3:
+                        state.update(
+                            f=factors, xB=xB, pi=pi, obj=obj, basis=basis
+                        )
+                        return "numerical_error"
+                    continue
+                refactor_failures = 0
                 stats.refactorizations += 1
                 xB = np.where(xB > -1e-9, np.maximum(xB, 0.0), xB)
                 progressed = last_obj is None or (last_obj - obj) > 1e-12 * (
@@ -291,6 +397,8 @@ def solve_relaxation_host_sparse(
         stats.phase1_iterations = stats.iterations
         if verdict == "iteration_limit":
             return finish(SolveStatus.ITERATION_LIMIT)
+        if verdict == "numerical_error":
+            return finish(SolveStatus.NUMERICAL_ERROR)
         feasible = state["obj"] <= phase1_tol
         if not feasible:
             if cfg.certify:
@@ -363,6 +471,8 @@ def solve_relaxation_host_sparse(
         m = m2
 
     verdict = run_phase(c2, stop_at_zero=False)
+    if verdict == "numerical_error":
+        return finish(SolveStatus.NUMERICAL_ERROR)
     if verdict == "iteration_limit":
         return finish(SolveStatus.ITERATION_LIMIT)
     basis = state["basis"]
@@ -380,7 +490,7 @@ def solve_relaxation_host_sparse(
 
     # --- extraction + certification (identical contract to the driver) ---
     entries = [
-        (int(j), xB[i])
+        (int(j), xB[i] * col_scale[int(j)])
         for i, j in enumerate(basis)
         if j < n_real and abs(xB[i]) > cfg.zero_tol
     ]

@@ -96,6 +96,7 @@ def main():
             entry["solve_s"] = round(solve_s, 2)
             entry["iterations"] = result.stats.iterations
             entry["certified"] = result.stats.certified
+            entry["certify_s"] = round(result.stats.certify_time_s, 2)
             entry["cleanup_pivots"] = result.stats.exact_cleanup_pivots
             if solution is not None:
                 value = float(solution.objective_value)

@@ -37,6 +37,11 @@ def main():
     parser.add_argument("--rows", type=int, default=512)
     parser.add_argument("--cols", type=int, default=2048)
     parser.add_argument("--budget", type=float, default=300.0)
+    parser.add_argument("--dtype", default="float32")
+    parser.add_argument("--carry", default="native")
+    parser.add_argument("--scan-dtype", default="float32")
+    parser.add_argument("--chunk", type=int, default=200)
+    parser.add_argument("--refactor", type=int, default=200)
     parser.add_argument("--out", default=None,
                         help="append per-problem JSON records to this file")
     parser.add_argument("names", nargs="*")
@@ -64,7 +69,10 @@ def main():
 
     drv.lower_provider = bucketed_lower
 
-    cfg = SolverConfig(pad_to=128, chunk_size=200, refactor_period=200)
+    cfg = SolverConfig(
+        pad_to=128, chunk_size=args.chunk, refactor_period=args.refactor,
+        dtype=args.dtype, carry=args.carry, scan_dtype=args.scan_dtype,
+    )
     print(f"device: {jax.devices()[0]}", flush=True)
     print(
         f"{'':5s}{'name':10s} {'objective':>20s} {'iters':>6s} "
