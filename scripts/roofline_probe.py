@@ -24,7 +24,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def measure(m, n, reps=6, chunks=(10, 150)):
+def measure(m, n, reps=5, chunks=(20, 620)):
     import jax
     import jax.numpy as jnp
 
@@ -60,15 +60,19 @@ def measure(m, n, reps=6, chunks=(10, 150)):
 
     for chunk in chunks:  # compile outside the timed region
         run_once(chunk, -1)
-    best = None
+    ests = []
     for rep in range(reps):
         d_small, i_small = run_once(chunks[0], rep)
         d_big, i_big = run_once(chunks[1], rep)
-        if i_big > i_small:
+        # Require the big chunk to have actually run ~all its pivots —
+        # an early OPTIMAL would make the delta meaningless.
+        if i_big - i_small >= 0.8 * (chunks[1] - chunks[0]):
             per = (d_big - d_small) / (i_big - i_small)
-            if per > 0 and (best is None or per < best):
-                best = per
-    return best
+            if per > 0:
+                ests.append(per)
+    if not ests:
+        return None
+    return float(np.median(np.asarray(ests)))
 
 
 def main():
