@@ -404,7 +404,24 @@ def solve_first_order(
     from relp_tpu.simplex.driver import solve_relaxation
 
     basis = crossover_basis(A, x)
-    result = solve_relaxation(provider, cfg, warm_start_basis=basis)
+    # The crossover finish is one warm-started simplex + certification; at
+    # first-order scale the DENSE device lowering explodes (FIT2P: 10,500
+    # standard-form rows -> a 2.7 GB f64 tableau and ~1 s rank-1 updates),
+    # so route huge sparse instances to the sparse host backend regardless
+    # of which device ran the PDHG phase.
+    finish_cfg = cfg
+    if cfg.backend == "auto":
+        M = provider.nr_rows()
+        N = provider.nr_columns() + M
+        nnz = sum(
+            len(provider.column(j).entries())
+            for j in range(provider.nr_columns())
+        )
+        if M * N >= 2.5e7 and nnz / (M * provider.nr_columns()) < 0.02:
+            import dataclasses
+
+            finish_cfg = dataclasses.replace(cfg, backend="host_sparse")
+    result = solve_relaxation(provider, finish_cfg, warm_start_basis=basis)
     result.stats.first_order_iterations = stats.iterations  # type: ignore[attr-defined]
     result.stats.first_order_residual = max(  # type: ignore[attr-defined]
         stats.primal_residual, stats.dual_residual, stats.gap

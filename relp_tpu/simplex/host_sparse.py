@@ -139,7 +139,12 @@ def _build_arrays(provider: MatrixProvider):
     if isinstance(provider, PartialInitialBasis):
         for row, col in provider.pivot_element_indices():
             basis[row] = col
-    return A, b, c1, c2, candidate, basis, n, m, dc
+    # 1/dc per column (artificials unscaled): pricing must test reduced
+    # costs in ORIGINAL units — a column scaled down by 2^-20 would hide a
+    # true -1e-3 candidate below any absolute scaled threshold (FIT2P's
+    # phase 1 falsely terminated 'optimal' at positive objective).
+    inv_dc = np.concatenate([1.0 / dc, np.ones(m)])
+    return A, b, c1, c2, candidate, basis, n, m, dc, inv_dc
 
 
 def _repair_basis(A, basis, n_real: int, m: int):
@@ -228,9 +233,9 @@ def solve_relaxation_host_sparse(
     stats = SolveStats()
     t_start = time.time()
 
-    A, b, c1, c2, candidate, basis, n_real, m, col_scale = _build_arrays(
-        provider
-    )
+    (
+        A, b, c1, c2, candidate, basis, n_real, m, col_scale, inv_dc
+    ) = _build_arrays(provider)
     removed_rows: List[int] = []
     pricing = PRICE_STEEPEST if cfg.pricing == "steepest" else PRICE_DANTZIG
 
@@ -252,6 +257,10 @@ def solve_relaxation_host_sparse(
         except Exception:  # noqa: BLE001 — singular warm basis: cold start
             pass
 
+    import logging as _logging
+
+    _log = _logging.getLogger("relp_tpu.host_sparse")
+
     def run_phase(c, stop_at_zero: bool) -> str:
         """Primal loop on the current basis; returns a status string."""
         nonlocal basis
@@ -270,23 +279,44 @@ def solve_relaxation_host_sparse(
         last_obj = None
         iters_at_entry = stats.iterations
         refactor_failures = 0
+        # Degenerate-plateau escape: after repeated zero-progress refactor
+        # windows even under Bland, enter a COST-PERTURBATION episode
+        # (CPLEX-style; the host analog of the device EXPAND jitter):
+        # tiny deterministic per-column cost noise breaks the pricing ties
+        # that pin the walk to one plateau.  Feasibility is untouched, and
+        # the episode is removed before any "optimal" verdict: true costs
+        # are restored, the state refactorized, and pricing re-entered
+        # (QAP12/QAP15: 200k flat Bland pivots at phase-1 obj 24.0).
+        c_work = c
+        perturbed = False
 
         while True:
             if stop_at_zero and obj <= 1e-9:
                 state.update(f=factors, xB=xB, pi=pi, obj=obj, basis=basis)
                 return "feasible"
-            d = c - A.T @ pi  # O(nnz) pricing scan
-            eligible = candidate & (~in_basis) & (d < -opt_tol)
+            d = c_work - A.T @ pi  # O(nnz) pricing scan (scaled units)
+            # Eligibility/selection in ORIGINAL units (see _build_arrays);
+            # the pi/objective updates keep the scaled d_q below.
+            d_true = d * inv_dc
+            eligible = candidate & (~in_basis) & (d_true < -opt_tol)
             if not eligible.any():
+                if perturbed:
+                    c_work = c
+                    perturbed = False
+                    bland = False
+                    stall = 0
+                    factors, xB, pi, obj = _refactor(A, b, c_work, basis)
+                    stats.refactorizations += 1
+                    continue
                 state.update(f=factors, xB=xB, pi=pi, obj=obj, basis=basis)
                 return "optimal"
             if bland or pricing == PRICE_BLAND:
                 q = int(np.argmax(eligible))
             elif pricing == PRICE_STEEPEST:
-                score = np.where(eligible, d * d / gamma, -np.inf)
+                score = np.where(eligible, d_true * d_true / gamma, -np.inf)
                 q = int(np.argmax(score))
             else:
-                q = int(np.argmin(np.where(eligible, d, np.inf)))
+                q = int(np.argmin(np.where(eligible, d_true, np.inf)))
 
             a_q = A[:, q].toarray().ravel()
             w = factors.ftran(a_q)
@@ -313,7 +343,7 @@ def solve_relaxation_host_sparse(
             e_r[r] = 1.0
             rho = factors.btran(e_r)  # new pivot row of B^-1
             pi = pi + d_q * rho
-            obj = float(c[basis] @ xB)
+            obj = float(c_work[basis] @ xB)
             stats.iterations += 1
 
             if pricing == PRICE_STEEPEST:
@@ -332,7 +362,7 @@ def solve_relaxation_host_sparse(
                 1 + refactor_failures
             ):
                 try:
-                    factors, xB, pi, obj = _refactor(A, b, c, basis)
+                    factors, xB, pi, obj = _refactor(A, b, c_work, basis)
                 except RuntimeError:
                     # superlu "Factor is exactly singular": cancellation
                     # made the basis numerically rank-deficient (PILOT87
@@ -357,7 +387,9 @@ def solve_relaxation_host_sparse(
                         in_basis[basis] = True
                         gamma = np.ones(A.shape[1])
                         try:
-                            factors, xB, pi, obj = _refactor(A, b, c, basis)
+                            factors, xB, pi, obj = _refactor(
+                                A, b, c_work, basis
+                            )
                             stats.refactorizations += 1
                             refactor_failures = 0
                         except RuntimeError:
@@ -370,6 +402,12 @@ def solve_relaxation_host_sparse(
                     continue
                 refactor_failures = 0
                 stats.refactorizations += 1
+                if stats.refactorizations % 20 == 0:
+                    _log.info(
+                        "phase%s iter=%d obj=%.6e bland=%s",
+                        "1" if stop_at_zero else "2",
+                        stats.iterations, obj, bland,
+                    )
                 xB = np.where(xB > -1e-9, np.maximum(xB, 0.0), xB)
                 progressed = last_obj is None or (last_obj - obj) > 1e-12 * (
                     1.0 + abs(obj)
@@ -382,6 +420,25 @@ def solve_relaxation_host_sparse(
                     stall += 1
                     if stall >= 2:
                         bland = True
+                    if stall >= 4 and not perturbed:
+                        rng = np.random.default_rng(9173)
+                        c_work = c + (
+                            1e-7
+                            * (1.0 + np.abs(c))
+                            * rng.uniform(0.5, 1.5, c.shape)
+                        )
+                        perturbed = True
+                        bland = False
+                        stall = 0
+                        factors, xB, pi, obj = _refactor(
+                            A, b, c_work, basis
+                        )
+                        stats.refactorizations += 1
+                        _log.info(
+                            "phase%s iter=%d: cost-perturbation episode",
+                            "1" if stop_at_zero else "2",
+                            stats.iterations,
+                        )
             if stats.iterations - iters_at_entry >= cfg.max_iterations:
                 state.update(f=factors, xB=xB, pi=pi, obj=obj, basis=basis)
                 return "iteration_limit"
@@ -407,6 +464,11 @@ def solve_relaxation_host_sparse(
                 stats.certified = certify_infeasible(
                     provider, [int(j) for j in state["basis"]], n_real
                 )
+                if not stats.certified:
+                    # The exact Farkas check REFUTED the float phase-1
+                    # verdict (the basis is not exactly phase-1-optimal):
+                    # an uncertified INFEASIBLE must never ship.
+                    return finish(SolveStatus.NUMERICAL_ERROR)
             return finish(SolveStatus.INFEASIBLE)
 
         # Drive zero-level artificials out; rows where no real column has a
@@ -460,6 +522,7 @@ def solve_relaxation_host_sparse(
         A = sparse.hstack([A[:, :n_real], art], format="csc")
         c1 = np.concatenate([c1[:n_real], np.ones(m2)])
         c2 = np.concatenate([c2[:n_real], np.zeros(m2)])
+        inv_dc = np.concatenate([inv_dc[:n_real], np.ones(m2)])
         candidate = np.zeros(n_real + m2, dtype=bool)
         candidate[:n_real] = True
         old_basis = state["basis"]

@@ -84,8 +84,14 @@ def main():
               flush=True)
 
     if not args.skip_cold:
+        import dataclasses
+
+        # Fair at-scale baseline: at these sizes the dense device lowering
+        # explodes (FIT2P: 2.7 GB f64), so the cold exact baseline is the
+        # sparse host backend — the same engine the auto-routing would pick.
+        cold_cfg = dataclasses.replace(cfg, backend="host_sparse")
         t2 = time.time()
-        res_cold = solve_relaxation(md, cfg)
+        res_cold = solve_relaxation(md, cold_cfg)
         cold_wall = time.time() - t2
         print(
             f"cold simplex:     {res_cold.status.value} certified="
