@@ -84,3 +84,53 @@ def test_afiro_certified():
     """AFIRO end-to-end on the default f32 fast path must exactly certify."""
     result = check_netlib("AFIRO.SIF", -4.6475314286e02, 1e-4)
     assert result.stats.certified
+
+
+# --- the 54 shipped-but-reference-untested problems (NETLIB_EXTRA) ---
+# The reference ships 104 SIF files but writes tests for only 48
+# (tests/netlib/problem_files vs tests/netlib/test.rs); these gate the other
+# 54.  External values (Koch 2004 / netlib README) are a sanity cross-check;
+# the HARD gate is our exact rational certification.  Timings from the
+# round-3 CPU sweeps (docs/results/netlib_extra_r3.txt).
+EXTRA_SLOW = {
+    "CRE-C": "~60 s", "D2Q06C": "~300 s", "D6CUBE": "~35 s",
+    "DEGEN3": "~42 s", "DFL001": "~1400 s (uncertified float pass; "
+    "certification gap tracked in docs/results)", "FORPLAN": "~40 s",
+    "GANGES": "~78 s", "GROW22": "~40 s", "KEN-11": "~1400 s",
+    "MAROS": "~36 s", "NESM": "~100 s", "PDS-06": "~47 s",
+    "PEROLD": "~75 s", "PILOT": "~1100 s", "PILOT-JA": "~86 s",
+    "PILOT-WE": "~58 s", "PILOT87": "~280 s", "PILOTNOV": "~46 s",
+    "QAP8": "~90 s", "SCFXM2": "~20 s", "SCFXM3": "~55 s", "SCSD8": "~22 s",
+    "SCTAP2": "~32 s", "SCTAP3": "~76 s", "SEBA": "~21 s",
+    "SHIP12L": "~22 s", "STOCFOR2": "~140 s", "TRUSS": "~134 s",
+    "WOOD1P": "~790 s", "WOODW": "~33 s", "FIT2P": "~1500 s",
+    "STOCFOR3": "needs > 1800 s",
+}
+# Degenerate-plateau holdouts: QAP12/QAP15 LP relaxations pin the float
+# phase-1 walk to a massive degenerate plateau (200k Bland pivots at a flat
+# objective); tracked in docs/ROADMAP.md.
+EXTRA_OPEN = {"QAP12", "QAP15"}
+
+
+@pytest.mark.parametrize("name", sorted(__import__("tests.netlib_expected", fromlist=["NETLIB_EXTRA"]).NETLIB_EXTRA))
+def test_netlib_extra(name):
+    from tests.netlib_expected import NETLIB_EXTRA
+
+    if name in EXTRA_OPEN:
+        pytest.skip("degenerate-plateau holdout (see docs/ROADMAP.md)")
+    if name in EXTRA_SLOW and not RUN_SLOW:
+        pytest.skip(f"slow on CPU ({EXTRA_SLOW[name]}); set RELP_TPU_RUN_SLOW=1")
+    expected, tol = NETLIB_EXTRA[name]
+    result, solution = solve_netlib(
+        f"{name}.SIF",
+        pad_to=128,
+        dtype="float64",
+        scan_dtype="float32",
+    )
+    assert result.status is SolveStatus.FINITE_OPTIMUM, result.status
+    assert solution is not None
+    # Exact certification is the hard gate for the extras.
+    assert result.stats.certified, name
+    if expected is not None:
+        value = float(solution.objective_value)
+        assert abs(value - expected) < tol, (name, value, expected)
