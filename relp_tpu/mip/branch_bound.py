@@ -232,6 +232,7 @@ def solve_mip(
     rins_rounds: int = 0,
     rins_nodes: int = 200,
     rins_time_s: float = 120.0,
+    incumbent_hint: Optional[Solution] = None,
     rel_gap: object = 0,
     time_limit_s: Optional[float] = None,
     mesh=None,
@@ -611,6 +612,14 @@ def solve_mip(
     incumbent_obj: Optional[Fraction] = None
     incumbent_reduced = None
     incumbent_provider = None
+    hint_solution: Optional[Solution] = None
+    if incumbent_hint is not None:
+        # A known integer-feasible Solution (e.g. the parent incumbent in a
+        # RINS sub-solve, feasible here by construction since RINS only
+        # tightens bounds): primes pruning from the first wave and spares
+        # the dive.  Replaced by any strictly better tree incumbent.
+        hint_solution = incumbent_hint
+        incumbent_obj = incumbent_hint.objective_value - fixed_cost
     seq = 1
     heap: List[_Node] = []
 
@@ -1015,6 +1024,9 @@ def solve_mip(
     # incumbent, repeat with the new agreements.  Beyond reference scope. ---
     rins_solution: Optional[Solution] = None
     if rins_rounds > 0 and incumbent_obj is not None and actives:
+        import logging as _logging
+
+        _rins_log = _logging.getLogger("relp_tpu.mip.rins")
         lp_vals = _exact_values(root, root_provider, gf, actives)
 
         def _incumbent_orig_values():
@@ -1037,6 +1049,8 @@ def solve_mip(
                 out.append(orig)
             return out
 
+        import random as _random
+
         for _round in range(rins_rounds):
             left = _time_left()
             if left is not None and left <= 0:
@@ -1045,16 +1059,39 @@ def solve_mip(
                 break
             inc_vals = _incumbent_orig_values()
             sub_gf = copy.deepcopy(gf_snapshot)
+            # Round 0 fixes the full agreement set (classic RINS).  When a
+            # round proves its neighborhood optimal without improving, later
+            # rounds FREE a growing random fraction of the agreements too —
+            # root LPs that are integral almost everywhere (binaries at 0)
+            # otherwise make the neighborhood trivially tight.
+            free_frac = 0.0 if _round == 0 else 0.08 * (2 ** (_round - 1))
+            rng = _random.Random(9091 + _round)
             fixed_ct = 0
             for t, k in enumerate(actives):
                 orig = gf.from_active_to_original[k]
-                if lp_vals[t] == inc_vals[t]:
+                if lp_vals[t] == inc_vals[t] and (
+                    free_frac == 0.0 or rng.random() >= free_frac
+                ):
                     v = inc_vals[t]
                     sub_gf.variables[orig].lower_bound = v
                     sub_gf.variables[orig].upper_bound = v
                     fixed_ct += 1
             if fixed_ct == 0 or fixed_ct == len(actives):
                 break  # nothing to search (or nothing left free)
+            _rins_log.info(
+                "RINS round %d: fixed %d/%d integer variables, sub-MIP "
+                "budgets nodes=%d time=%.0fs",
+                _round, fixed_ct, len(actives), rins_nodes,
+                rins_time_s if _time_left() is None
+                else max(min(rins_time_s, _time_left()), 0.0),
+            )
+            hint = rins_solution
+            if hint is None and incumbent_provider is not None:
+                hint = gf.compute_full_solution_with_reduced_solution(
+                    incumbent_provider.reconstruct_solution(
+                        copy.deepcopy(incumbent_reduced)
+                    )
+                )
             sub = solve_mip(
                 sub_gf,
                 config,
@@ -1066,6 +1103,7 @@ def solve_mip(
                 branching=branching,
                 strong_branching=strong_branching,
                 dive_rounds=dive_rounds,
+                incumbent_hint=hint,
                 rins_rounds=0,
                 time_limit_s=(
                     rins_time_s
@@ -1073,6 +1111,12 @@ def solve_mip(
                     else max(min(rins_time_s, _time_left()), 0.0)
                 ),
                 mesh=mesh,
+            )
+            _rins_log.info(
+                "RINS round %d: sub status=%s objective=%s vs incumbent %s",
+                _round, sub.status.value,
+                None if sub.objective is None else float(sub.objective),
+                float(incumbent_obj + fixed_cost),
             )
             if (
                 sub.status is SolveStatus.FINITE_OPTIMUM
@@ -1089,8 +1133,8 @@ def solve_mip(
                 result.rins_incumbent = True
                 result.dive_incumbent = False
                 result.rins_improvements += 1
-            else:
-                break  # no improvement: further rounds would fix the same set
+            # No break on a non-improving round: the next round frees a
+            # larger random fraction of the agreement set.
 
     t0 = t_entry
     gap_target = (
@@ -1196,10 +1240,11 @@ def solve_mip(
         result.objective = result.solution.objective_value
         assert result.objective == incumbent_obj + fixed_cost
     else:
-        # RINS incumbent: the sub-MIP already produced the full
-        # original-space Solution of the same problem.
-        result.solution = rins_solution
-        result.objective = rins_solution.objective_value
+        # RINS incumbent or hint: already a full original-space Solution
+        # of the same problem.
+        sol = rins_solution if rins_solution is not None else hint_solution
+        result.solution = sol
+        result.objective = sol.objective_value
         assert result.objective == incumbent_obj + fixed_cost
     if result.best_bound is not None:
         result.gap = (result.objective - result.best_bound) / max(

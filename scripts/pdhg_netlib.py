@@ -60,6 +60,21 @@ def main():
 
     cfg = SolverConfig(pad_to=128, chunk_size=150, refactor_period=150)
 
+    # Stage 1 report: the PDHG phase alone (the crossover below repeats it;
+    # the repeat cost is minutes and makes progress visible on hangs).
+    t1 = time.time()
+    _x, _y, fo_stats = solve_first_order(
+        md, cfg, tol=args.tol, max_iters=args.max_iters, chunk=args.chunk,
+        crossover=False,
+    )
+    print(
+        f"pdhg phase: iters={fo_stats.iterations} "
+        f"{time.time()-t1:.1f}s ({fo_stats.iterations/(time.time()-t1):.0f} "
+        f"it/s) residuals p={fo_stats.primal_residual:.2e} "
+        f"d={fo_stats.dual_residual:.2e} gap={fo_stats.gap:.2e}",
+        flush=True,
+    )
+
     t1 = time.time()
     res_fo = solve_first_order(
         md, cfg, tol=args.tol, max_iters=args.max_iters, chunk=args.chunk
