@@ -1059,23 +1059,32 @@ def solve_mip(
                 break
             inc_vals = _incumbent_orig_values()
             sub_gf = copy.deepcopy(gf_snapshot)
-            # Round 0 fixes the full agreement set (classic RINS).  When a
-            # round proves its neighborhood optimal without improving, later
-            # rounds FREE a growing random fraction of the agreements too —
-            # root LPs that are integral almost everywhere (binaries at 0)
-            # otherwise make the neighborhood trivially tight.
-            free_frac = 0.0 if _round == 0 else 0.08 * (2 ** (_round - 1))
+            # Round 0 fixes the full agreement set (classic RINS).  Later
+            # rounds open TARGETED neighborhoods: everything positive in
+            # the incumbent (the paid-for activity pattern the dive chose
+            # greedily) and every general integer is freed, plus a growing
+            # random fraction of the remaining agreements — root LPs that
+            # are integral almost everywhere (binaries at 0) make the
+            # classic neighborhood trivially tight (50v-10: round 0 fixes
+            # 1578/1647 and proves the dive incumbent locally optimal).
+            free_frac = 0.0 if _round <= 1 else 0.08 * (2 ** (_round - 2))
             rng = _random.Random(9091 + _round)
             fixed_ct = 0
             for t, k in enumerate(actives):
                 orig = gf.from_active_to_original[k]
-                if lp_vals[t] == inc_vals[t] and (
-                    free_frac == 0.0 or rng.random() >= free_frac
+                if lp_vals[t] != inc_vals[t]:
+                    continue  # disagreement: always free
+                if _round >= 1 and (
+                    inc_vals[t] != 0
+                    or (gf_snapshot.variables[orig].upper_bound or 2) > 1
                 ):
-                    v = inc_vals[t]
-                    sub_gf.variables[orig].lower_bound = v
-                    sub_gf.variables[orig].upper_bound = v
-                    fixed_ct += 1
+                    continue  # targeted: active pattern + general integers
+                if free_frac and rng.random() < free_frac:
+                    continue
+                v = inc_vals[t]
+                sub_gf.variables[orig].lower_bound = v
+                sub_gf.variables[orig].upper_bound = v
+                fixed_ct += 1
             if fixed_ct == 0 or fixed_ct == len(actives):
                 break  # nothing to search (or nothing left free)
             _rins_log.info(
