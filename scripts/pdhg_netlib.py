@@ -16,6 +16,13 @@ import os
 import sys
 import time
 
+if os.environ.get("RELP_STACK_DUMP"):
+    import faulthandler
+
+    faulthandler.dump_traceback_later(
+        int(os.environ["RELP_STACK_DUMP"]), repeat=True, file=sys.stderr
+    )
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
