@@ -97,6 +97,8 @@ class MipResult:
     rins_incumbent: bool = False
     #: RINS rounds that produced a strict improvement
     rins_improvements: int = 0
+    #: local-branching rounds that produced a strict improvement
+    lb_improvements: int = 0
 
 
 @dataclass(order=True)
@@ -232,6 +234,8 @@ def solve_mip(
     rins_rounds: int = 0,
     rins_nodes: int = 200,
     rins_time_s: float = 120.0,
+    local_branching: int = 0,
+    lb_rounds: int = 3,
     incumbent_hint: Optional[Solution] = None,
     rel_gap: object = 0,
     time_limit_s: Optional[float] = None,
@@ -292,6 +296,16 @@ def solve_mip(
     one (and sharpens wave pruning); rounds repeat with the new agreements
     until no improvement.  Beyond reference scope.
 
+    ``local_branching`` > 0 runs local-branching rounds (Fischetti & Lodi
+    2003) after RINS: the ORIGINAL problem plus ONE Hamming-ball row
+    ``sum_{x̂=0} x_j - sum_{x̂=1} x_j <= k - |x̂=1|`` over the binary
+    variables around the incumbent x̂ is solved recursively (hint-seeded).
+    Unlike RINS neighborhoods — which can only move variables that already
+    DISAGREE somewhere — a radius-k ball can OPEN binaries that are 0 in
+    both the LP and the incumbent, which is exactly where fix-the-
+    agreements search proved the 50v-10 dive incumbent locally optimal.
+    Improvements re-center the ball; a proven-optimal ball enlarges k.
+
     ``mesh`` (a ``jax.sharding.Mesh`` with "batch" and "col" axes) shards
     every batched stage — node waves, strong branching — over the batch
     axis and the tableau columns over the col axis; single-LP stages
@@ -327,7 +341,11 @@ def solve_mip(
     gf = general_form
     # RINS rebuilds the ORIGINAL problem with tightened bounds; snapshot it
     # before presolve/standardize mutate gf in place.
-    gf_snapshot = copy.deepcopy(general_form) if rins_rounds > 0 else None
+    gf_snapshot = (
+        copy.deepcopy(general_form)
+        if rins_rounds > 0 or local_branching > 0
+        else None
+    )
 
     # MIP-safe bound strengthening: integer bounds round inward exactly.
     for v in gf.variables:
@@ -1144,6 +1162,105 @@ def solve_mip(
                 result.rins_improvements += 1
             # No break on a non-improving round: the next round frees a
             # larger random fraction of the agreement set.
+
+    # --- local branching (Fischetti & Lodi 2003): one Hamming-ball row
+    # around the incumbent over the ORIGINAL binary variables.  See the
+    # docstring; runs after RINS, re-centering on improvements and
+    # enlarging the radius when a ball is proven optimal. ---
+    if local_branching > 0 and incumbent_obj is not None and actives:
+        import logging as _logging
+
+        _lb_log = _logging.getLogger("relp_tpu.mip.lb")
+
+        def _current_solution() -> Solution:
+            if rins_solution is not None:
+                return rins_solution
+            return gf.compute_full_solution_with_reduced_solution(
+                incumbent_provider.reconstruct_solution(
+                    copy.deepcopy(incumbent_reduced)
+                )
+            )
+
+        k_ball = local_branching
+        for _round in range(lb_rounds):
+            left = _time_left()
+            if left is not None and left <= 0:
+                break
+            center = _current_solution()
+            sub_gf = copy.deepcopy(gf_snapshot)
+            cols = sub_gf.constraints.columns
+            row_i = sub_gf.constraints.nr_rows
+            ones = 0
+            n_bin = 0
+            for j, ((name, _entry), var) in enumerate(
+                zip(sub_gf.original_variables, sub_gf.variables)
+            ):
+                if (
+                    var.variable_type is VariableType.INTEGER
+                    and var.lower_bound == 0
+                    and var.upper_bound == 1
+                ):
+                    n_bin += 1
+                    v = center.value_of(name)
+                    if v == 0:
+                        cols[j].append((row_i, Fraction(1)))
+                    else:
+                        ones += 1
+                        cols[j].append((row_i, Fraction(-1)))
+            if n_bin == 0:
+                break
+            from relp_tpu.data.elements import RangedConstraintRelation
+
+            sub_gf.constraints.nr_rows = row_i + 1
+            sub_gf.constraint_types.append(RangedConstraintRelation.less())
+            sub_gf.b.append(Fraction(k_ball - ones))
+            _lb_log.info(
+                "LB round %d: radius %d ball over %d binaries (|x̂=1|=%d)",
+                _round, k_ball, n_bin, ones,
+            )
+            sub = solve_mip(
+                sub_gf,
+                config,
+                batch_width=batch_width,
+                node_limit=rins_nodes,
+                gomory_cuts=gomory_cuts,
+                cut_rounds=cut_rounds,
+                cover_cuts=cover_cuts,
+                branching=branching,
+                strong_branching=strong_branching,
+                dive_rounds=0,
+                incumbent_hint=center,
+                rins_rounds=0,
+                local_branching=0,
+                time_limit_s=(
+                    rins_time_s
+                    if _time_left() is None
+                    else max(min(rins_time_s, _time_left()), 0.0)
+                ),
+                mesh=mesh,
+            )
+            _lb_log.info(
+                "LB round %d: sub status=%s objective=%s vs incumbent %s",
+                _round, sub.status.value,
+                None if sub.objective is None else float(sub.objective),
+                float(incumbent_obj + fixed_cost),
+            )
+            if (
+                sub.status is SolveStatus.FINITE_OPTIMUM
+                and sub.objective is not None
+                and sub.objective < incumbent_obj + fixed_cost
+            ):
+                rins_solution = sub.solution
+                incumbent_obj = sub.objective - fixed_cost
+                incumbent_reduced = None
+                incumbent_provider = None
+                result.objective = sub.objective
+                result.rins_incumbent = True
+                result.dive_incumbent = False
+                result.lb_improvements += 1
+                # Re-center at the same radius next round.
+            else:
+                k_ball *= 2  # proven-optimal or budget-limited ball: widen
 
     t0 = t_entry
     gap_target = (

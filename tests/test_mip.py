@@ -684,3 +684,40 @@ def test_mip_rins_preserves_verdicts_and_can_improve():
         picked = [sol.value_of(f"x{j}") for j in range(6)]
         assert all(v in (0, 1) for v in picked)
         assert sum(w * v for w, v in zip(weights, picked)) <= W
+
+
+def test_mip_local_branching_improves_incumbent():
+    """Local branching: with a crippled tree (node_limit=1), a Hamming ball
+    around the dive incumbent recovers the true knapsack optimum — flips
+    can OPEN binaries that are 0 in both the LP and the incumbent, which
+    RINS-style agreement fixing cannot."""
+    values = [10, 13, 7, 8, 12, 9]
+    weights = [5, 7, 4, 3, 6, 5]
+    W = 14
+    best = max(
+        sum(v for v, take in zip(values, picks) if take)
+        for picks in itertools.product([0, 1], repeat=6)
+        if sum(w for w, take in zip(weights, picks) if take) <= W
+    )
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [weights],
+        [RangedConstraintRelation.less()],
+        [W],
+        values,
+        [(0, 1)] * 6,
+        [VariableType.INTEGER] * 6,
+    )
+    res = solve_mip(
+        copy.deepcopy(gf),
+        _cfg(),
+        batch_width=1,
+        node_limit=1,
+        local_branching=6,  # radius covers the whole cube
+        lb_rounds=2,
+        rins_nodes=200,
+    )
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    assert res.objective == -best
+    picked = [res.solution.value_of(f"x{j}") for j in range(6)]
+    assert sum(w * v for w, v in zip(weights, picked)) <= W
