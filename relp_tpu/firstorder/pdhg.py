@@ -186,6 +186,9 @@ def pdhg_solve(
     import jax.numpy as jnp
     from jax import lax
 
+    from relp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     t0 = time.time()
     m, n = A_np.shape
     if u_np is None:

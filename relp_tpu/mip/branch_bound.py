@@ -97,6 +97,8 @@ class MipResult:
     rins_incumbent: bool = False
     #: RINS rounds that produced a strict improvement
     rins_improvements: int = 0
+    #: the incumbent came from a local-branching sub-MIP (Fischetti & Lodi)
+    lb_incumbent: bool = False
     #: local-branching rounds that produced a strict improvement
     lb_improvements: int = 0
 
@@ -1048,9 +1050,16 @@ def solve_mip(
         lp_vals = _exact_values(root, root_provider, gf, actives)
 
         def _incumbent_orig_values():
-            if rins_solution is not None:
+            # The incumbent may exist only as a caller-provided hint (public
+            # API: incumbent_hint + rins_rounds with no tree incumbent), in
+            # which case incumbent_provider is None; hint_solution is a full
+            # original-space Solution and serves the same role.
+            full = rins_solution
+            if full is None and incumbent_provider is None:
+                full = hint_solution
+            if full is not None:
                 return [
-                    rins_solution.value_of(
+                    full.value_of(
                         gf.original_variables[gf.from_active_to_original[k]][0]
                     )
                     for k in actives
@@ -1175,6 +1184,9 @@ def solve_mip(
         def _current_solution() -> Solution:
             if rins_solution is not None:
                 return rins_solution
+            if incumbent_provider is None:
+                # Incumbent supplied as a hint only (see _incumbent_orig_values).
+                return hint_solution
             return gf.compute_full_solution_with_reduced_solution(
                 incumbent_provider.reconstruct_solution(
                     copy.deepcopy(incumbent_reduced)
@@ -1255,7 +1267,8 @@ def solve_mip(
                 incumbent_reduced = None
                 incumbent_provider = None
                 result.objective = sub.objective
-                result.rins_incumbent = True
+                result.lb_incumbent = True
+                result.rins_incumbent = False
                 result.dive_incumbent = False
                 result.lb_improvements += 1
                 # Re-center at the same radius next round.

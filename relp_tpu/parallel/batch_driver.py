@@ -210,6 +210,9 @@ def solve_batch(
     import jax
     import jax.numpy as jnp
 
+    from relp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = config or default_config()
     if certify is None:
         certify = cfg.certify

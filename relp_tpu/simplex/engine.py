@@ -420,6 +420,11 @@ class DoubleFloatEngine:
 
 
 def make_engine(cfg: SolverConfig):
+    # Persist compiled executables across processes: remote TPU compiles
+    # cost 30-90 s per signature and dominated round-3 netlib wall times.
+    from relp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if cfg.carry == "df32":
         return DoubleFloatEngine()
     if cfg.basis_inverse == "lu":

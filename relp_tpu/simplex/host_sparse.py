@@ -289,6 +289,7 @@ def solve_relaxation_host_sparse(
         # (QAP12/QAP15: 200k flat Bland pivots at phase-1 obj 24.0).
         c_work = c
         perturbed = False
+        perturb_episodes = 0
 
         while True:
             if stop_at_zero and obj <= 1e-9:
@@ -421,9 +422,18 @@ def solve_relaxation_host_sparse(
                     if stall >= 2:
                         bland = True
                     if stall >= 4 and not perturbed:
-                        rng = np.random.default_rng(9173)
+                        # Fresh seed + growing magnitude per episode: a
+                        # plateau that survives one perturbation must see
+                        # different tie-breaks next time, not the same ones.
+                        perturb_episodes += 1
+                        rng = np.random.default_rng(
+                            9173
+                            + 7919 * perturb_episodes
+                            + stats.iterations
+                        )
                         c_work = c + (
                             1e-7
+                            * perturb_episodes
                             * (1.0 + np.abs(c))
                             * rng.uniform(0.5, 1.5, c.shape)
                         )

@@ -721,3 +721,39 @@ def test_mip_local_branching_improves_incumbent():
     assert res.objective == -best
     picked = [res.solution.value_of(f"x{j}") for j in range(6)]
     assert sum(w * v for w, v in zip(weights, picked)) <= W
+
+
+def test_mip_hint_only_incumbent_with_rins_and_lb():
+    """Public-API combo: incumbent_hint supplied, dive disabled, and a tree
+    too small to find its own incumbent — RINS and local branching must fall
+    back to the hint Solution instead of dereferencing a None provider
+    (advisor r3, branch_bound.py _incumbent_orig_values/_current_solution)."""
+    values = [10, 13, 7, 8, 12, 9]
+    weights = [5, 7, 4, 3, 6, 5]
+    W = 14
+    gf = _gf(
+        Objective.MAXIMIZE,
+        [weights],
+        [RangedConstraintRelation.less()],
+        [W],
+        values,
+        [(0, 1)] * 6,
+        [VariableType.INTEGER] * 6,
+    )
+    base = solve_mip(copy.deepcopy(gf), _cfg(), batch_width=4)
+    assert base.solution is not None
+    res = solve_mip(
+        copy.deepcopy(gf),
+        _cfg(),
+        batch_width=1,
+        node_limit=1,
+        dive_rounds=0,
+        incumbent_hint=base.solution,
+        rins_rounds=1,
+        local_branching=6,
+        lb_rounds=1,
+        rins_nodes=100,
+    )
+    assert res.status is SolveStatus.FINITE_OPTIMUM
+    # The hint is the true optimum; neighborhoods may confirm but not beat it.
+    assert res.objective == base.objective
