@@ -503,17 +503,76 @@ def exact_solve(
     return _lift_and_reconstruct(columns, int_columns, int_b, b, p, inv_p)
 
 
+def _reconstruct_digits(
+    digits: List[np.ndarray], p: int, m: int, exact_early: bool
+) -> Optional[List[Fraction]]:
+    """Rational vector from p-adic digits, or None if reconstruction fails
+    (only possible on a truncated — checkpoint — modulus)."""
+    # Horner per entry.
+    y_int: List[int] = []
+    for i in range(m):
+        acc = 0
+        for d in reversed(digits):
+            acc = acc * p + int(d[i])
+        y_int.append(acc)
+
+    if exact_early:
+        return [Fraction(v) for v in y_int]
+    modulus = p ** len(digits)
+    half = modulus // 2
+    bound = math.isqrt(half)
+    den = 1
+    y = [Fraction(0)] * m
+    for i in range(m):
+        y_mod_i = y_int[i] % modulus
+        scaled = (y_mod_i * den) % modulus
+        if scaled > half:
+            scaled -= modulus
+        # The shared-denominator fast path is only sound while
+        # bound*den < half: scaled is already reduced into (-half, half],
+        # so once den >= half/bound the acceptance test is vacuously true
+        # and a wrong numerator could slip through (it would then fail
+        # the exact verification and needlessly abort the solve).
+        if bound * den < half and abs(scaled) <= bound * den:
+            y[i] = Fraction(scaled, den)
+        else:
+            rec = _rational_reconstruct(y_mod_i, modulus, bound)
+            if rec is None:
+                return None
+            y[i] = rec
+            den = den * rec.denominator // math.gcd(den, rec.denominator)
+    return y
+
+
+def _verify_exact(columns, x: List[Fraction], b) -> bool:
+    """Exact check of B x = b over the original rational columns."""
+    residual: List[Fraction] = [-v for v in b]
+    for j, col in enumerate(columns):
+        if x[j]:
+            for i, v in col:
+                residual[i] += v * x[j]
+    return not any(residual)
+
+
 def _lift_and_reconstruct(
     columns, int_columns, int_b, b, p, inv_p, scale: int = 1
 ) -> List[Fraction]:
     m = len(int_b)
     K = _lift_bound(int_columns, int_b, p)
+    # The Hadamard/Cramer bound K is astronomically pessimistic for the
+    # structured bases LPs actually produce (DFL001: thousands of digits
+    # bounded vs tens needed — the r3 certification blew its 1000 s budget
+    # entirely inside this loop).  Lift adaptively instead: attempt
+    # reconstruction at geometric checkpoints; B is nonsingular, so the
+    # exact verification accepts only THE solution — a premature
+    # reconstruction either fails or verifies wrong and we keep lifting.
+    checkpoint = min(K, 24)
 
     # p-adic lifting.
     r: List[int] = list(int_b)
     digits: List[np.ndarray] = []
     exact_early = False
-    for _ in range(K):
+    while len(digits) < K:
         if not any(r):
             # Residual is exactly zero: the digits so far ARE the solution
             # (a nonnegative integer vector) — skip the remaining digits
@@ -531,52 +590,23 @@ def _lift_and_reconstruct(
                     Bd[i] += aij * dj
         r = [(ri - bdi) // p for ri, bdi in zip(r, Bd)]
         digits.append(d)
+        if len(digits) == checkpoint and len(digits) < K:
+            y = _reconstruct_digits(digits, p, m, exact_early=False)
+            if y is not None:
+                x = y if scale == 1 else [v / scale for v in y]
+                if _verify_exact(columns, x, b):
+                    return x
+            checkpoint = min(K, checkpoint * 4)
 
-    # Horner per entry.
-    y_int: List[int] = []
-    for i in range(m):
-        acc = 0
-        for d in reversed(digits):
-            acc = acc * p + int(d[i])
-        y_int.append(acc)
-
-    if exact_early:
-        y: List[Fraction] = [Fraction(v) for v in y_int]
-    else:
-        modulus = p ** len(digits)
-        half = modulus // 2
-        bound = math.isqrt(half)
-        den = 1
-        y = [Fraction(0)] * m
-        for i in range(m):
-            y_mod_i = y_int[i] % modulus
-            scaled = (y_mod_i * den) % modulus
-            if scaled > half:
-                scaled -= modulus
-            # The shared-denominator fast path is only sound while
-            # bound*den < half: scaled is already reduced into (-half, half],
-            # so once den >= half/bound the acceptance test is vacuously true
-            # and a wrong numerator could slip through (it would then fail
-            # the final exact verification and needlessly abort the solve).
-            if bound * den < half and abs(scaled) <= bound * den:
-                y[i] = Fraction(scaled, den)
-            else:
-                rec = _rational_reconstruct(y_mod_i, modulus, bound)
-                if rec is None:
-                    raise ExactSingularError("rational reconstruction failed")
-                y[i] = rec
-                den = den * rec.denominator // math.gcd(den, rec.denominator)
+    y = _reconstruct_digits(digits, p, m, exact_early)
+    if y is None:
+        raise ExactSingularError("rational reconstruction failed")
 
     # Row scaling preserves the solution; undo the rhs multiplier if any.
     x = y if scale == 1 else [v / scale for v in y]
 
     # Exact verification of B x = b (guards the bound estimate).
-    residual: List[Fraction] = [-v for v in b]
-    for j, col in enumerate(columns):
-        if x[j]:
-            for i, v in col:
-                residual[i] += v * x[j]
-    if any(residual):
+    if not _verify_exact(columns, x, b):
         raise ExactSingularError("exact verification failed (lift bound too small)")
     return x
 

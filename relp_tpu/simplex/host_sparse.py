@@ -290,6 +290,24 @@ def solve_relaxation_host_sparse(
         c_work = c
         perturbed = False
         perturb_episodes = 0
+        # Second escape hatch for *primal* degeneracy (QAP12/QAP15: b is
+        # mostly zeros, so most basic values are 0 and every ratio test
+        # returns a zero step — cost noise cannot fix that).  Shift the
+        # basic VALUES by a tiny positive deterministic jitter (the host
+        # analog of the device driver's EXPAND xB jitter): steps become
+        # positive, the walk leaves the vertex, and the shift is removed
+        # (refactor against the true b) before any verdict.
+        xb_perturbed = False
+        xb_episodes = 0
+        xb_jitter = None
+
+        def _xb_jitter_vec(episode: int) -> np.ndarray:
+            idx = np.arange(m)
+            return (
+                1e-6
+                * episode
+                * (1.0 + ((idx * 37 + episode * 11) % 19) / 19.0)
+            )
 
         while True:
             if stop_at_zero and obj <= 1e-9:
@@ -301,11 +319,14 @@ def solve_relaxation_host_sparse(
             d_true = d * inv_dc
             eligible = candidate & (~in_basis) & (d_true < -opt_tol)
             if not eligible.any():
-                if perturbed:
+                if perturbed or xb_perturbed:
                     c_work = c
                     perturbed = False
+                    xb_perturbed = False
+                    xb_jitter = None
                     bland = False
                     stall = 0
+                    last_obj = None
                     factors, xB, pi, obj = _refactor(A, b, c_work, basis)
                     stats.refactorizations += 1
                     continue
@@ -410,6 +431,10 @@ def solve_relaxation_host_sparse(
                         stats.iterations, obj, bland,
                     )
                 xB = np.where(xB > -1e-9, np.maximum(xB, 0.0), xB)
+                if xb_perturbed:
+                    # The refactor recomputed xB from the true b; keep the
+                    # episode's shift until the perturbed walk terminates.
+                    xB = xB + xb_jitter
                 progressed = last_obj is None or (last_obj - obj) > 1e-12 * (
                     1.0 + abs(obj)
                 )
@@ -421,7 +446,21 @@ def solve_relaxation_host_sparse(
                     stall += 1
                     if stall >= 2:
                         bland = True
-                    if stall >= 4 and not perturbed:
+                    if stall >= 4 and perturbed and not xb_perturbed:
+                        # Cost noise did not move the walk: the block is
+                        # primal degeneracy.  Shift the basic values.
+                        xb_episodes += 1
+                        xb_jitter = _xb_jitter_vec(xb_episodes)
+                        xB = xB + xb_jitter
+                        xb_perturbed = True
+                        bland = False
+                        stall = 0
+                        _log.info(
+                            "phase%s iter=%d: xB-shift episode %d",
+                            "1" if stop_at_zero else "2",
+                            stats.iterations, xb_episodes,
+                        )
+                    elif stall >= 4 and not perturbed:
                         # Fresh seed + growing magnitude per episode: a
                         # plateau that survives one perturbation must see
                         # different tie-breaks next time, not the same ones.

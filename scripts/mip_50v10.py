@@ -32,6 +32,9 @@ def main():
     parser.add_argument("--rins-rounds", type=int, default=3)
     parser.add_argument("--rins-nodes", type=int, default=300)
     parser.add_argument("--rins-time", type=float, default=600.0)
+    parser.add_argument("--local-branching", type=int, default=10,
+                        help="Hamming-ball radius (0 disables)")
+    parser.add_argument("--lb-rounds", type=int, default=3)
     parser.add_argument("--gap", type=float, default=0.0)
     args = parser.parse_args()
 
@@ -62,6 +65,8 @@ def main():
         rins_rounds=args.rins_rounds,
         rins_nodes=args.rins_nodes,
         rins_time_s=args.rins_time,
+        local_branching=args.local_branching,
+        lb_rounds=args.lb_rounds,
         rel_gap=args.gap,
         time_limit_s=args.time,
     )
@@ -80,7 +85,9 @@ def main():
           f"pruned, limit_hit={res.node_limit_hit}, "
           f"time_hit={res.time_limit_hit}", flush=True)
     print(f"incumbent src: dive={res.dive_incumbent} rins={res.rins_incumbent}"
-          f" (rins improvements: {res.rins_improvements}, "
+          f" lb={res.lb_incumbent} "
+          f"(rins improvements: {res.rins_improvements}, "
+          f"lb improvements: {res.lb_improvements}, "
           f"dive LPs: {res.dive_lps})", flush=True)
     print(f"branch vars:   {res.branch_vars_used}", flush=True)
     print(f"certified:     {res.certified}", flush=True)

@@ -353,3 +353,34 @@ def test_exact_dual_cleanup_restores_feasibility():
     assert result.status is SolveStatus.FINITE_OPTIMUM
     assert result.stats.certified
     assert result.exact_objective == F(3)
+
+
+def test_adaptive_lift_early_exit_on_simple_solution():
+    """A basis with huge entries has an astronomical Hadamard lift bound,
+    but when the actual solution is simple the adaptive checkpoints must
+    recover it from a few p-adic digits (the DFL001 certification fix).
+    Correctness: the returned x must verify exactly either way."""
+    import numpy as np
+
+    from relp_tpu.exact.dixon import ExactSolver, _lift_bound
+
+    rng = np.random.default_rng(5)
+    m = 60
+    M = rng.integers(-10**9, 10**9, size=(m, m))
+    while abs(np.linalg.det(M.astype(float))) < 1e-3:
+        M = rng.integers(-10**9, 10**9, size=(m, m))
+    columns = [
+        [(i, F(int(M[i, j]))) for i in range(m) if M[i, j]] for j in range(m)
+    ]
+    # Simple designed solution: x_j in {0, 1/2, 3}.
+    x_true = [F(0), F(1, 2), F(3)] * (m // 3)
+    b = [
+        sum((F(int(M[i, j])) * x_true[j] for j in range(m)), F(0))
+        for i in range(m)
+    ]
+    solver = ExactSolver(columns, peel=False)
+    # The worst-case bound is huge (entries ~1e9, m=60: hundreds of digits);
+    # the checkpointed lift should still answer exactly.
+    assert _lift_bound(solver.int_columns, [int(v) for v in b], solver.p) > 100
+    x = solver.solve(b)
+    assert x == x_true
