@@ -107,6 +107,17 @@ class SolverConfig:
     # host_sparse.should_use_host_sparse).
     backend: str = "auto"
 
+    # Feasibility strategy: "two_phase" (the reference's phase 1 / phase 2
+    # split, phase_one.rs) or "bigm" (single composite walk on
+    # c2 + M * c1; host_sparse backend only).  Big-M lets the REAL cost
+    # gradients break pricing ties from the first pivot, which escapes the
+    # massively degenerate pure-phase-1 plateaus of assignment-structured
+    # LPs (QAP12/QAP15: flat 200k-pivot walks at phase-1 objective 24.0).
+    # Correctness is unaffected: the basis it lands on goes through the
+    # same exact certification as any other, and a composite optimum with
+    # nonzero artificials falls back to the classic phase 1.
+    phase1: str = "two_phase"
+
     # Run the exact rational certification pass after solving.
     certify: bool = True
     # If certification finds exact negative reduced costs, run exact cleanup
@@ -177,6 +188,8 @@ class SolverConfig:
             )
         if self.backend not in ("auto", "device", "host_sparse"):
             raise ValueError(f"unsupported backend {self.backend!r}")
+        if self.phase1 not in ("two_phase", "bigm"):
+            raise ValueError(f"unsupported phase1 {self.phase1!r}")
         # Remember the pre-clamp tolerances: dataclasses.replace() rebuilds
         # from the (possibly f32-clamped) field values, so dtype escalation
         # in the driver must restore these to get genuine f64 tolerances.

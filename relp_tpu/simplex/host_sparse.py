@@ -498,6 +498,36 @@ def solve_relaxation_host_sparse(
         return OptimizationResult(status=status, stats=stats)
 
     needs_phase1 = not warm_started and bool((basis >= n_real).any())
+    drive_out = False
+    if needs_phase1 and cfg.phase1 == "bigm":
+        # Single composite walk on c2 + M*c1: real cost gradients break the
+        # pricing ties that pin pure-phase-1 walks to degenerate plateaus
+        # (QAP12/QAP15).  Any failure falls back to the classic two-phase
+        # path; the final basis is exactly certified either way.
+        cand_c2 = np.abs(c2[candidate]) if candidate.any() else None
+        m_big = 1e4 * (1.0 + (float(cand_c2.max()) if cand_c2 is not None and cand_c2.size else 1.0))
+        verdict = run_phase(c2 + m_big * c1, stop_at_zero=False)
+        stats.phase1_iterations = stats.iterations
+        if verdict == "numerical_error":
+            return finish(SolveStatus.NUMERICAL_ERROR)
+        if verdict == "iteration_limit":
+            return finish(SolveStatus.ITERATION_LIMIT)
+        if verdict == "optimal":
+            bb = state["basis"]
+            art_mask = bb >= n_real
+            art_level = (
+                float(np.abs(state["xB"][art_mask]).max())
+                if art_mask.any()
+                else 0.0
+            )
+            if art_level <= 1e-7:
+                needs_phase1 = False
+                basis = bb
+                drive_out = True
+            # else: composite optimum keeps artificials positive — possibly
+            # infeasible; the classic phase 1 below decides (with exact
+            # Farkas certification).
+        # "unbounded" composite: M may be too small; classic path decides.
     if needs_phase1:
         verdict = run_phase(c1, stop_at_zero=True)
         stats.phase1_iterations = stats.iterations
@@ -520,6 +550,9 @@ def solve_relaxation_host_sparse(
                     return finish(SolveStatus.NUMERICAL_ERROR)
             return finish(SolveStatus.INFEASIBLE)
 
+        drive_out = True
+
+    if drive_out:
         # Drive zero-level artificials out; rows where no real column has a
         # nonzero tableau entry are redundant (rank repair; reference:
         # remove_artificial_basis_variables, phase_one.rs:232-278).

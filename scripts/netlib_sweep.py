@@ -57,6 +57,8 @@ def main():
     parser.add_argument("--dtype", default="float64")
     parser.add_argument("--scan-dtype", default="float32")
     parser.add_argument("--refactor", type=int, default=100)
+    parser.add_argument("--phase1", default="two_phase",
+                        help="two_phase | bigm (host backend composite walk)")
     parser.add_argument(
         "--extra",
         action="store_true",
@@ -89,6 +91,7 @@ def main():
                 scan_dtype=args.scan_dtype,
                 refactor_period=args.refactor,
                 chunk_size=args.refactor,
+                phase1=args.phase1,
             )
             result, solution, parse_s, solve_s = solve_one(name, args.budget, overrides)
             entry["status"] = result.status.value

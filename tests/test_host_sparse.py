@@ -114,3 +114,57 @@ def test_auto_routing_heuristic():
     counts = big.standardize()
     big_md = big.derive_matrix_data(counts)
     assert should_use_host_sparse(big_md, cfg)
+
+
+def test_host_sparse_bigm_matches_two_phase():
+    """phase1='bigm' (single composite walk; the QAP degenerate-plateau
+    escape) lands on the same exactly-certified objective as the classic
+    two-phase path, including on a rank-repair problem (SCORPION)."""
+    for name in ("AFIRO.SIF", "SCORPION.SIF"):
+        gf_a, gf_b = _netlib_gf(name), _netlib_gf(name)
+        classic, _ = solve_general_form(
+            gf_a, SolverConfig(backend="host_sparse", pad_to=64)
+        )
+        bigm, _ = solve_general_form(
+            gf_b,
+            SolverConfig(backend="host_sparse", pad_to=64, phase1="bigm"),
+        )
+        assert bigm.stats.certified, name
+        assert bigm.exact_objective == classic.exact_objective, name
+
+
+def test_host_sparse_bigm_infeasible_falls_back_to_farkas():
+    """An infeasible LP under phase1='bigm' keeps artificials positive in
+    the composite optimum; the fallback classic phase 1 must still produce
+    the exactly-certified INFEASIBLE verdict."""
+    from relp_tpu.data.elements import (
+        Objective,
+        RangedConstraintRelation,
+        VariableType,
+    )
+    from relp_tpu.data.general_form import GeneralForm, Variable
+    from relp_tpu.linalg.sparse import SparseColumnMatrix
+
+    gf = GeneralForm(
+        objective=Objective.MINIMIZE,
+        constraints=SparseColumnMatrix.from_dense(
+            [[F(1), F(1)], [F(1), F(1)]]
+        ),
+        constraint_types=[
+            RangedConstraintRelation.equal(),
+            RangedConstraintRelation.equal(),
+        ],
+        b=[F(1), F(3)],
+        variables=[
+            Variable(VariableType.CONTINUOUS, F(1), F(0), None)
+            for _ in range(2)
+        ],
+        variable_names=["x", "y"],
+    )
+    counts = gf.standardize()
+    data = gf.derive_matrix_data(counts)
+    result = solve_relaxation(
+        data, SolverConfig(backend="host_sparse", phase1="bigm")
+    )
+    assert result.status is SolveStatus.INFEASIBLE
+    assert result.stats.certified
