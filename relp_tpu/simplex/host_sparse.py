@@ -292,14 +292,19 @@ def solve_relaxation_host_sparse(
         perturb_episodes = 0
         # Second escape hatch for *primal* degeneracy (QAP12/QAP15: b is
         # mostly zeros, so most basic values are 0 and every ratio test
-        # returns a zero step — cost noise cannot fix that).  Shift the
-        # basic VALUES by a tiny positive deterministic jitter (the host
-        # analog of the device driver's EXPAND xB jitter): steps become
-        # positive, the walk leaves the vertex, and the shift is removed
+        # returns a zero step — cost noise cannot fix that).  Perturb the
+        # rhs IN THE CURRENT BASIS FRAME: b_work = b + B0 @ eps makes the
+        # current basic values strictly positive (xB += eps) and — crucially
+        # — the perturbation is FIXED for the whole episode, so refactoring
+        # against b_work preserves the perturbed problem and Bland/steepest
+        # walks on it make real progress.  (A first attempt re-applied a raw
+        # xB shift after every refactorization; that restarts the perturbed
+        # problem each window, voids Bland's termination guarantee, and
+        # measurably cycles forever on QAP12.)  The perturbation is removed
         # (refactor against the true b) before any verdict.
+        b_work = b
         xb_perturbed = False
         xb_episodes = 0
-        xb_jitter = None
 
         def _xb_jitter_vec(episode: int) -> np.ndarray:
             idx = np.arange(m)
@@ -321,9 +326,9 @@ def solve_relaxation_host_sparse(
             if not eligible.any():
                 if perturbed or xb_perturbed:
                     c_work = c
+                    b_work = b
                     perturbed = False
                     xb_perturbed = False
-                    xb_jitter = None
                     bland = False
                     stall = 0
                     last_obj = None
@@ -384,7 +389,7 @@ def solve_relaxation_host_sparse(
                 1 + refactor_failures
             ):
                 try:
-                    factors, xB, pi, obj = _refactor(A, b, c_work, basis)
+                    factors, xB, pi, obj = _refactor(A, b_work, c_work, basis)
                 except RuntimeError:
                     # superlu "Factor is exactly singular": cancellation
                     # made the basis numerically rank-deficient (PILOT87
@@ -410,7 +415,7 @@ def solve_relaxation_host_sparse(
                         gamma = np.ones(A.shape[1])
                         try:
                             factors, xB, pi, obj = _refactor(
-                                A, b, c_work, basis
+                                A, b_work, c_work, basis
                             )
                             stats.refactorizations += 1
                             refactor_failures = 0
@@ -431,10 +436,6 @@ def solve_relaxation_host_sparse(
                         stats.iterations, obj, bland,
                     )
                 xB = np.where(xB > -1e-9, np.maximum(xB, 0.0), xB)
-                if xb_perturbed:
-                    # The refactor recomputed xB from the true b; keep the
-                    # episode's shift until the perturbed walk terminates.
-                    xB = xB + xb_jitter
                 progressed = last_obj is None or (last_obj - obj) > 1e-12 * (
                     1.0 + abs(obj)
                 )
@@ -448,15 +449,20 @@ def solve_relaxation_host_sparse(
                         bland = True
                     if stall >= 4 and perturbed and not xb_perturbed:
                         # Cost noise did not move the walk: the block is
-                        # primal degeneracy.  Shift the basic values.
+                        # primal degeneracy.  Perturb the rhs in the basis
+                        # frame (fixed for the whole episode; see above).
                         xb_episodes += 1
-                        xb_jitter = _xb_jitter_vec(xb_episodes)
-                        xB = xB + xb_jitter
+                        eps = _xb_jitter_vec(xb_episodes)
+                        b_work = b_work + A[:, basis] @ eps
+                        xB = xB + eps
+                        obj = float(c_work[basis] @ xB)
+                        last_obj = None
                         xb_perturbed = True
                         bland = False
                         stall = 0
                         _log.info(
-                            "phase%s iter=%d: xB-shift episode %d",
+                            "phase%s iter=%d: basis-frame rhs perturbation "
+                            "episode %d",
                             "1" if stop_at_zero else "2",
                             stats.iterations, xb_episodes,
                         )
