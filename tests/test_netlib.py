@@ -110,11 +110,9 @@ EXTRA_SLOW = {
 # phase-1 walk to a massive degenerate plateau (200k Bland pivots at a flat
 # objective); tracked in docs/ROADMAP.md.
 EXTRA_OPEN = {"QAP12", "QAP15"}
-# Certification-budget holdout: DFL001 solves to the reference objective but
-# its ~6k-row working basis exceeded the dense Dixon certification budget
-# (docs/results/netlib_extra_r3.txt: certified=False after 1005 s); the
-# objective gate below still applies.  Tracked in docs/ROADMAP.md.
-EXTRA_UNCERTIFIED = {"DFL001"}
+# (r4: the DFL001 certification holdout is gone — adaptive p-adic lifting
+# in exact/dixon.py certifies it in ~440 s; see netlib_extra_r4.)
+EXTRA_UNCERTIFIED: set = set()
 
 
 @pytest.mark.parametrize("name", sorted(__import__("tests.netlib_expected", fromlist=["NETLIB_EXTRA"]).NETLIB_EXTRA))
