@@ -288,6 +288,11 @@ def main():
 
     from __graft_entry__ import _make_state, _synthetic_problem
     from relp_tpu.simplex import kernels
+    from relp_tpu.utils.cache import enable_compilation_cache
+
+    # Persistent compile cache: first-ever run pays the remote compiles,
+    # every later run loads executables locally (~20 ms/signature).
+    enable_compilation_cache()
 
     m, n = 1024, 4096
     detail = _PARTIAL.setdefault("detail", {})
@@ -477,6 +482,49 @@ def main():
     )
     detail["batched_64x_m256_xla_pivots_per_s"] = (
         round(1.0 / batch_xla_per_pivot, 1) if batch_xla_per_pivot else None
+    )
+    _save_partial()
+
+    # --- larger batched bucket (r4): the megakernel's advantage grows with
+    # m (docs/results/batch_perf_r4.txt: ~1.9x over vmapped XLA at m=512) —
+    # report the strongest production batched configuration too.
+    try:
+        B2, mb2, nb2 = 128, 512, 1024
+        states2, As2, cs2, cands2 = [], [], [], []
+        for s in range(B2):
+            Ab, bb, c1b, c2b, candb, basisb = _synthetic_problem(
+                m=mb2, n=nb2, pad=128, seed=300 + s, dtype=np.float32
+            )
+            states2.append(_make_state(Ab, bb, c1b, basisb))
+            As2.append(Ab)
+            cs2.append(c1b)
+            cands2.append(candb)
+        batch2 = make_batch_state(states2)
+        A_b2 = jnp.asarray(np.stack(As2))
+        c_b2 = jnp.asarray(np.stack(cs2))
+        cand_b2 = jnp.asarray(np.stack(cands2))
+
+        def run_batch_mega2(chunk, rep):
+            st = batch2._replace(
+                xB=batch2.xB + (_ENTROPY * 1e-9 * (rep + 1))
+            )
+            t0 = time.time()
+            out = megakernel_run_chunk(
+                st, A_b2, c_b2, cand_b2, chunk=chunk,
+                opt_tol=1e-7, pivot_tol=1e-7, degen_tol=1e-7,
+            )
+            total = int(np.asarray(out.iteration).sum())
+            return time.time() - t0, total
+
+        per512 = measure_batch(run_batch_mega2)
+        detail["batched_128x_m512_pivots_per_s"] = (
+            round(1.0 / per512, 1) if per512 else None
+        )
+    except Exception:  # noqa: BLE001 — best-effort detail
+        detail["batched_128x_m512_pivots_per_s"] = None
+    _note(
+        f"batched m512 section done: "
+        f"{detail['batched_128x_m512_pivots_per_s']}"
     )
     signal.alarm(0)
     _emit(_result_from_partial(_PARTIAL, timed_out=False))
