@@ -42,6 +42,12 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
         return path
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU compiles are cheap, and reloading CPU AOT results emits noisy
+        # machine-feature-mismatch warnings (XLA pseudo-features like
+        # prefer-no-scatter are recorded but not reported by the host).
+        # The cache's value is the 30-90 s remote TPU compiles.
+        return None
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

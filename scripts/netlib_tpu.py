@@ -235,6 +235,23 @@ def main():
             if sig not in seen:
                 seen.add(sig)
                 variants.append(keys)
+        if any(not parsed[n][2] for n in in_bucket):
+            # Unrouted problems may climb the escalation ladder mid-solve;
+            # pre-compile the ladder rung configs too so a first failure
+            # doesn't pay cold rung compiles inside its device_s column.
+            for rung in (
+                {"carry": "df32", "chunk_size": 100, "refactor_period": 100},
+                {"dtype": "float64", "chunk_size": 60, "refactor_period": 60},
+                # pivot_tol matches the ladder's conservative rung exactly —
+                # tolerances are STATIC jit args, so a differing value would
+                # compile a different executable than the rung actually uses.
+                {"dtype": "float64", "chunk_size": 30, "refactor_period": 30,
+                 "scan_dtype": "same", "pivot_tol": 1e-7},
+            ):
+                sig = tuple(sorted(rung.items()))
+                if sig not in seen:
+                    seen.add(sig)
+                    variants.append(rung)
         log(f"## bucket rows={rows_b} cols={cols_b}: "
             f"{len(in_bucket)} problems, {len(variants)} config variants")
         if not args.no_warmup:
