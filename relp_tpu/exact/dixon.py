@@ -228,6 +228,91 @@ def _peel_order(
     return peels, rows
 
 
+def _btf_order(
+    columns: Sequence[Sequence[Entry]],
+) -> Optional[List[Tuple[List[int], List[int]]]]:
+    """Block-triangular (Dulmage–Mendelsohn) ordering of a structurally
+    nonsingular square sparse matrix.
+
+    A maximum bipartite matching permutes rows so the diagonal is
+    structurally nonzero; the strongly connected components of the column
+    digraph (edge j -> i per off-diagonal nonzero of the permuted matrix)
+    are the diagonal blocks of a block-triangular permutation PAQ, and their
+    condensation's topological order is the forward-substitution solve
+    order.  Column singletons (the old peel) come out as 1x1 blocks, so
+    this strictly generalizes :func:`_peel_order`; on bases like DFL001's
+    (12k rows) it shrinks the dense Dixon core from O(m^3) to the largest
+    irreducible bump.
+
+    Returns blocks as (columns, matched rows) in solve order, or ``None``
+    when scipy is unavailable, the matrix is structurally singular (the
+    dense path reports that), or there is only one block.
+    """
+    m = len(columns)
+    if m < 3:
+        return None
+    try:
+        from scipy import sparse as sp
+        from scipy.sparse import csgraph
+    except Exception:  # noqa: BLE001 — scipy is optional here
+        return None
+
+    indptr = [0]
+    idx: List[int] = []
+    for col in columns:
+        idx.extend(i for i, v in col if v)
+        indptr.append(len(idx))
+    A = sp.csc_matrix(
+        (
+            np.ones(len(idx), dtype=np.int8),
+            np.asarray(idx, dtype=np.int32),
+            np.asarray(indptr, dtype=np.int32),
+        ),
+        shape=(m, m),
+    )
+    row_perm = csgraph.maximum_bipartite_matching(A, perm_type="row")
+    if (row_perm < 0).any():
+        return None
+    B = A[row_perm, :]  # structurally nonzero diagonal
+    n_comp, labels = csgraph.connected_components(
+        B, directed=True, connection="strong"
+    )
+    if n_comp <= 1:
+        return None
+
+    # Condensation DAG: edge label[j] -> label[i] per off-diagonal nonzero
+    # B[i, j] ("column j's block must be solved before equation i's block").
+    Bc = B.tocoo()
+    li = labels[Bc.row]
+    lj = labels[Bc.col]
+    cross = li != lj
+    edges = set(zip(lj[cross].tolist(), li[cross].tolist()))
+    indeg = [0] * n_comp
+    adj: List[List[int]] = [[] for _ in range(n_comp)]
+    for u, v in edges:
+        adj[u].append(v)
+        indeg[v] += 1
+    from collections import deque
+
+    queue = deque(c for c in range(n_comp) if indeg[c] == 0)
+    order: List[int] = []
+    while queue:
+        u = queue.popleft()
+        order.append(u)
+        for v in adj[u]:
+            indeg[v] -= 1
+            if indeg[v] == 0:
+                queue.append(v)
+    assert len(order) == n_comp  # the condensation is acyclic
+
+    cols_of: List[List[int]] = [[] for _ in range(n_comp)]
+    for j in range(m):
+        cols_of[labels[j]].append(j)
+    return [
+        (cols_of[c], [int(row_perm[j]) for j in cols_of[c]]) for c in order
+    ]
+
+
 class ExactSolver:
     """Cached exact solver for one basis matrix.
 
@@ -246,6 +331,18 @@ class ExactSolver:
         self.m = len(columns)
         self.columns = columns
         self._transposed_memo: Optional["ExactSolver"] = None
+        self.btf_blocks: Optional[list] = None
+
+        if peel is not False and self.m > 0:
+            blocks = _btf_order(columns)
+            if blocks is not None:
+                max_block = max(len(c) for c, _ in blocks)
+                # Same spirit as the old >=25% peel rule: block-triangular
+                # structure must shrink the dense core meaningfully, else
+                # keep the flat inverse (which supports O(m^2) updates).
+                if peel is True or max_block <= (3 * self.m) // 4:
+                    self._build_btf(blocks)
+                    return
 
         peels: List[Tuple[int, int]] = []
         rows: List[List[Entry]] = []
@@ -285,6 +382,55 @@ class ExactSolver:
         self.p = p
         self.inv_p = inv_p
 
+    def _build_btf(self, blocks: List[Tuple[List[int], List[int]]]) -> None:
+        """Construct per-block sub-solvers for a block-triangular ordering.
+
+        Each block is ``("one", col, row, pivot)`` for 1x1 blocks (direct
+        exact division) or ``("core", cols, rows, ExactSolver)``; the
+        expensive mod-p inversions cost sum(block^3) instead of m^3.
+        """
+        self.peels = []
+        built = []
+        for cols, rows_b in blocks:
+            if len(cols) == 1:
+                j, r = cols[0], rows_b[0]
+                pivot = next(v for i, v in self.columns[j] if i == r and v)
+                built.append(("one", j, r, pivot))
+                continue
+            local = {r: k for k, r in enumerate(rows_b)}
+            sub_columns = [
+                [(local[i], v) for i, v in self.columns[j] if i in local and v]
+                for j in cols
+            ]
+            built.append(
+                ("core", cols, rows_b, ExactSolver(sub_columns, peel=False))
+            )
+        self.btf_blocks = built
+
+    def _solve_btf(self, b: Sequence[Fraction]) -> List[Fraction]:
+        """Block forward substitution: every block's equations reference only
+        its own columns and columns of earlier blocks (topological order), so
+        solving in order with rhs updates is exact."""
+        x: List[Optional[Fraction]] = [None] * self.m
+        s = list(b)
+        for block in self.btf_blocks:
+            if block[0] == "one":
+                _, j, r, pivot = block
+                xj = s[r] / pivot
+                x[j] = xj
+                if xj:
+                    for i, v in self.columns[j]:
+                        s[i] -= v * xj
+                continue
+            _, cols, rows_b, core = block
+            sub_x = core.solve([s[r] for r in rows_b])
+            for j, xj in zip(cols, sub_x):
+                x[j] = xj
+                if xj:
+                    for i, v in self.columns[j]:
+                        s[i] -= v * xj
+        return x  # type: ignore[return-value]
+
     def transposed(self) -> "ExactSolver":
         """Solver for B^T, reusing this solver's mod-p inversion.
 
@@ -305,7 +451,7 @@ class ExactSolver:
             for i, v in col:
                 t_columns[i].append((j, v))
 
-        if self.peels:
+        if self.peels or self.btf_blocks:
             if self._transposed_memo is None:
                 self._transposed_memo = ExactSolver(t_columns)
             return self._transposed_memo
@@ -314,6 +460,7 @@ class ExactSolver:
         out.m = m
         out.columns = t_columns
         out.peels = []
+        out.btf_blocks = None
         out._transposed_memo = None
         out.row_lcm = _row_lcms(t_columns)  # = D_c
         out.int_columns = [
@@ -354,7 +501,7 @@ class ExactSolver:
         p), and on peeled solvers (no full-size inverse to update); callers
         rebuild from scratch then.
         """
-        if self.peels:
+        if self.peels or self.btf_blocks:
             raise ExactSingularError("peeled solver cannot update in place")
         p = self.p
         m = self.m
@@ -407,6 +554,7 @@ class ExactSolver:
         columns[r] = list(new_col)
         out.columns = columns
         out.peels = []
+        out.btf_blocks = None
         out._transposed_memo = None
         out.row_lcm = new_lcm
         int_columns[r] = new_int_col
@@ -416,6 +564,8 @@ class ExactSolver:
         return out
 
     def solve(self, b: Sequence[Fraction]) -> List[Fraction]:
+        if self.btf_blocks:
+            return self._solve_btf(b)
         if self.peels:
             return self._solve_peeled(b)
         # Row lcms were computed from the matrix alone; clear any remaining

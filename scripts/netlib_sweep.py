@@ -122,6 +122,10 @@ def main():
         finally:
             signal.alarm(0)
         report[name] = entry
+        # Crash-safe: persist after every problem so a killed shard keeps
+        # its finished results (round-4 shard A died at hour 6 with nothing).
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
         marker = "PASS" if entry.get("pass") else "FAIL"
         print(
             f"{marker} {name:10s} {entry.get('status','?'):16s} "

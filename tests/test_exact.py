@@ -384,3 +384,69 @@ def test_adaptive_lift_early_exit_on_simple_solution():
     assert _lift_bound(solver.int_columns, [int(v) for v in b], solver.p) > 100
     x = solver.solve(b)
     assert x == x_true
+
+
+def test_btf_block_triangular_solve_matches_oracle():
+    """Block-triangular (BTF) structural decomposition: a basis assembled
+    from dense diagonal bumps + identity-like singleton columns + cross-block
+    coupling entries must solve exactly (forward block substitution), for
+    both B and B^T, matching the Fraction Gaussian elimination oracle."""
+    from relp_tpu.exact.dixon import ExactSolver, _btf_order
+
+    rng = random.Random(11)
+    # Three dense bumps of sizes 4, 3, 5 on the diagonal, then 8 singleton
+    # columns, with random coupling entries only from earlier blocks'
+    # columns into later blocks' rows (keeps the matrix block-triangular
+    # under SOME permutation; the solver must find it).
+    sizes = [4, 3, 5]
+    offsets = [0, 4, 7]
+    m = sum(sizes) + 8
+    columns = [[] for _ in range(m)]
+    for blk, (sz, off) in enumerate(zip(sizes, offsets)):
+        for j in range(off, off + sz):
+            for i in range(off, off + sz):
+                if rng.random() < 0.7 or i == j:
+                    columns[j].append((i, F(rng.randint(1, 9), rng.choice((1, 2, 3)))))
+            # coupling into later rows only
+            for i in range(off + sz, m):
+                if rng.random() < 0.2:
+                    columns[j].append((i, F(rng.randint(-5, 5) or 1)))
+    for k in range(8):
+        j = sum(sizes) + k
+        columns[j].append((j, F(rng.randint(1, 7), rng.choice((1, 5)))))
+
+    # Scramble rows and columns so the structure is hidden.
+    rperm = list(range(m))
+    cperm = list(range(m))
+    rng.shuffle(rperm)
+    rng.shuffle(cperm)
+    scrambled = [
+        sorted((rperm[i], v) for i, v in columns[j]) for j in cperm
+    ]
+
+    solver = ExactSolver(scrambled, peel=True)
+    assert solver.btf_blocks is not None, "BTF must engage on this structure"
+    blocks = _btf_order(scrambled)
+    assert max(len(c) for c, _ in blocks) <= max(sizes)
+
+    b = [F(rng.randint(-20, 20), rng.choice((1, 3))) for _ in range(m)]
+    assert solver.solve(b) == _naive_solve(scrambled, b)
+
+    rows = [[] for _ in range(m)]
+    for j, col in enumerate(scrambled):
+        for i, v in col:
+            rows[i].append((j, v))
+    assert solver.transposed().solve(b) == _naive_solve(rows, b)
+
+
+def test_btf_declines_irreducible_matrix():
+    """A dense (single strongly connected block) matrix must keep the flat
+    inverse so exact-cleanup's O(m^2) replace_column updates stay available."""
+    from relp_tpu.exact.dixon import ExactSolver
+
+    rng = random.Random(7)
+    columns = _random_sparse_columns(rng, 10, density=0.8)
+    solver = ExactSolver(columns)
+    assert solver.btf_blocks is None
+    b = [F(rng.randint(-9, 9)) for _ in range(10)]
+    assert solver.solve(b) == _naive_solve(columns, b)
