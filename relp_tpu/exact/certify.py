@@ -125,6 +125,24 @@ def _exact_ratio_test(
     return None if best is None else best[2]
 
 
+def _rebuild_flat(provider, basis, art_offset):
+    """Flat (updatable) solver for the current basis, or None to let the
+    next certify_basis rebuild structurally.
+
+    Cleanup walks pivot hundreds of times; only a flat inverse supports the
+    O(m^2) mod-p Sherman-Morrison updates, so pay its O(m^3) construction
+    once when m is small enough (above that, per-pivot block-triangular
+    rebuilds are the cheaper trade)."""
+    if len(basis) > 4096:
+        return None
+    try:
+        return ExactSolver(
+            _basis_columns(provider, basis, art_offset), peel=False
+        )
+    except ExactSingularError:
+        return None
+
+
 def exact_cleanup(
     provider: MatrixProvider,
     basis: List[int],
@@ -182,7 +200,16 @@ def exact_cleanup(
                 r, provider.column(entering).entries()
             )
         except ExactSingularError:
-            solver = None  # rare: rebuild from scratch next iteration
+            # Structural (BTF/peeled) solvers refuse in-place updates; a
+            # long cleanup walk amortizes one flat O(m^3) inversion over
+            # O(m^2) Sherman-Morrison pivots, so rebuild FLAT once the walk
+            # is demonstrably long (short walks keep the cheap structural
+            # rebuilds the next certify_basis performs).
+            solver = (
+                _rebuild_flat(provider, basis, art_offset)
+                if pivots >= 10
+                else None
+            )
 
 
 def exact_dual_cleanup(
@@ -262,7 +289,11 @@ def exact_dual_cleanup(
         try:
             solver = solver.replace_column(r, provider.column(j).entries())
         except ExactSingularError:
-            solver = None  # rare: rebuild from scratch next iteration
+            solver = (
+                _rebuild_flat(provider, basis, art_offset)
+                if pivots >= 10
+                else None
+            )
 
 
 def certify_and_repair(
