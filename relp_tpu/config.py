@@ -99,6 +99,14 @@ class SolverConfig:
     # BasisInverseRows vs LUDecomposition).
     basis_inverse: str = "dense"
 
+    # Steepest-edge weight refresh cadence at chunk exits (1 = refresh at
+    # every exit).  The in-kernel Goldfarb update keeps gamma approximately
+    # current within a chunk; the full (M,M)@(M,N) refresh matmul dominates
+    # chunk-exit cost at m >= ~4k buckets, so big-bucket routes raise this.
+    # Stale weights only degrade pivot CHOICE, never correctness (the
+    # polish/certification layers absorb pricing noise — see CLAUDE.md).
+    gamma_refresh_period: int = 1
+
     # Execution backend: "device" (dense jitted tableau — the TPU path),
     # "host_sparse" (scipy sparse revised simplex on the host — the CPU
     # fallback for huge, very sparse instances, closest to the reference's

@@ -139,6 +139,7 @@ def _run_phase(
     # the perturbed walk terminates, then polishing resumes.
     perturbed = False
     perturb_episodes = 0
+    chunk_exits = 0
 
     def _jitter(state):
         import jax.numpy as jnp
@@ -260,7 +261,10 @@ def _run_phase(
                 validate_bfs_state(state, A_full, b, c, feas_tol=cfg.feas_tol * 1e4)
         if perturbed:
             state = _jitter(state)  # refactor recomputed xB from the true b
-        if pricing == PRICE_STEEPEST:
+        chunk_exits += 1
+        if pricing == PRICE_STEEPEST and (
+            chunk_exits % max(1, cfg.gamma_refresh_period) == 0
+        ):
             # Refresh drifted gamma weights at refactorization points.
             state = engine.recompute_gamma(state, scan)
         if int(state.iteration) >= cfg.max_iterations:

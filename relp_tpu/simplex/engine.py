@@ -72,13 +72,29 @@ class DenseEngine:
     ) -> Tuple[SimplexState, float]:
         import jax.numpy as jnp
 
+        # Newton refresh from the carried product-form inverse first: the
+        # inverse after a chunk of rank-1 updates has residual ~1e-3..1e-4,
+        # inside Newton's quadratic basin, so two refresh steps (4 matmuls)
+        # reach the dtype floor without jnp.linalg.inv — whose sequential
+        # triangular solves dominate big-bucket chunk exits (m=5120:
+        # netlib 80BAU3B spent 680 s of its 684 s wall in per-chunk-exit
+        # refactorization before this path).
+        Binv, xB, pi, obj, residual = kernels.newton_refresh(
+            state.Binv, A, b, c, state.basis, steps=2
+        )
+        res = float(residual)
+        if np.isfinite(res) and res <= self._accept_tol(A, cfg):
+            stats.refactorizations += 1
+            xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
+            return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), res
+
         newton = 3 if cfg.dtype == "float64" else 1
         Binv, xB, pi, obj, residual = kernels.refactorize(
             A, b, c, state.basis, newton_steps=newton
         )
         stats.refactorizations += 1
         res = float(residual)
-        if not np.isfinite(res) or res > 1e-6:
+        if not np.isfinite(res) or res > self._accept_tol(A, cfg):
             # The f32 MXU inverse + Newton refinement broke down on an
             # ill-conditioned basis; fall back to host LAPACK in f64
             # (handles condition numbers up to ~1e15).
@@ -100,6 +116,18 @@ class DenseEngine:
             obj = jnp.asarray(float(cB @ xB_h), dtype=dt)
         xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
         return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), res
+
+    @staticmethod
+    def _accept_tol(A, cfg: SolverConfig) -> float:
+        """Device-refactor acceptance residual: the f32 floor for max|BX-I|
+        grows with m (rounding accumulates over the m-length dot products),
+        so a flat 1e-6 gate at m >= ~4k rejects every device inverse and
+        silently routes each chunk exit through host LAPACK.  Stay an order
+        of magnitude under the driver's 1e-4 breakdown threshold."""
+        if cfg.dtype == "float64":
+            return 1e-6
+        m = A.shape[0]
+        return min(1e-5, max(1e-6, 4e-7 * float(m) ** 0.5))
 
     def run_chunk(
         self, state, A_scan, A_full, c, candidate_mask, mode, cfg,

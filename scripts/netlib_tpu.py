@@ -68,7 +68,8 @@ def _route_cfg_keys(route: dict) -> dict:
         k: v
         for k, v in route.items()
         if k in ("carry", "dtype", "chunk_size", "refactor_period",
-                 "scan_dtype", "max_iterations", "pricing")
+                 "scan_dtype", "max_iterations", "pricing",
+                 "gamma_refresh_period")
     }
 
 
