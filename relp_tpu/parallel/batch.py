@@ -49,7 +49,10 @@ def megakernel_run_chunk(
     configuration: f32, same-precision scans, steepest-edge pricing.  The
     carried ``d`` is left stale (every chunk entry refreshes it anyway).
     """
-    from relp_tpu.ops.pallas_batch import batched_pivot_chunk
+    from relp_tpu.ops.pallas_batch import (
+        batched_pivot_chunk,
+        batched_pivot_chunk_blocked,
+    )
     from relp_tpu.simplex.kernels import _NOISY_F32_EPS
 
     # Hardware Mosaic f32 dots are single-pass bf16: the kernel needs the
@@ -58,8 +61,14 @@ def megakernel_run_chunk(
     noise_eps = (
         _NOISY_F32_EPS if (not interpret and noisy_f32_matmul()) else 0.0
     )
+    variant, kw = _megakernel_variant(A.shape)
+    impl = (
+        batched_pivot_chunk
+        if variant == "resident"
+        else batched_pivot_chunk_blocked
+    )
     Binv, xB, pi, basis, in_basis, gamma, status, iteration, degen = (
-        batched_pivot_chunk(
+        impl(
             A,
             c,
             candidate_mask,
@@ -80,6 +89,7 @@ def megakernel_run_chunk(
             interpret=interpret,
             noise_eps=noise_eps,
             hi_scan=hi_scan,
+            **kw,
         )
     )
     cB = jnp.take_along_axis(c, basis, axis=1)
@@ -99,6 +109,34 @@ def megakernel_run_chunk(
     )
 
 
+# Usable VMEM measured at 16-24 MB on v5e (docs/ROADMAP.md); budgets leave
+# headroom for Mosaic's pipeline double-buffering of the VMEM-blocked
+# vector operands.
+_RESIDENT_VMEM_BUDGET = 6 * 1024 * 1024
+_BLOCKED_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def _megakernel_variant(shape):
+    """Pick the megakernel implementation for a (B, M, N) batch shape.
+
+    Returns ("resident", {}) when the whole (M, N) tableau + carry fits
+    VMEM (the round-2 kernel), ("blocked", {"col_block": BLK}) when only
+    the (M, M) carry fits and the tableau must stream from HBM (the m>=1024
+    shapes that used to fail outright — docs/results/batch_perf_r4.txt), or
+    (None, {}) when even the carry is too big for VMEM.
+    """
+    _, M, N = shape
+    if (M * N + 2 * M * M) * 4 <= _RESIDENT_VMEM_BUDGET:
+        return "resident", {}
+    for blk in (512, 256, 128):
+        if N % blk:
+            continue
+        used = (M * M + 2 * M * blk + 128 * M + N) * 4
+        if used <= _BLOCKED_VMEM_BUDGET:
+            return "blocked", {"col_block": blk}
+    return None, {}
+
+
 def megakernel_applicable(A, cfg_dtype: str, scan_dtype: str, pricing: int, mesh=None) -> bool:
     """Shape/config gate for the fused batched megakernel."""
     B, M, N = A.shape
@@ -109,6 +147,7 @@ def megakernel_applicable(A, cfg_dtype: str, scan_dtype: str, pricing: int, mesh
         and scan_dtype in ("float32", "same")
         and M % 8 == 0
         and N % 128 == 0
+        and _megakernel_variant(A.shape)[0] is not None
     )
 
 

@@ -70,6 +70,51 @@ def test_megakernel_matches_xla_path(stop_at_zero):
     assert np.allclose(np.asarray(ref.pi), np.asarray(pi), atol=1e-3)
 
 
+@pytest.mark.parametrize("stop_at_zero", [True, False])
+def test_blocked_megakernel_matches_xla_path(stop_at_zero):
+    """The HBM-streaming (row-blocked) megakernel must match the XLA path
+    exactly in interpret mode, including across column-block boundaries
+    (N=256 with col_block=128 exercises 2-block streaming)."""
+    from relp_tpu.ops.pallas_batch import batched_pivot_chunk_blocked
+    from relp_tpu.parallel.batch import batched_run_chunk
+    from relp_tpu.simplex.kernels import PRICE_STEEPEST
+
+    batch, A, c, cand = _toy_batch(B=3, m=48, n=192, chunk=25)
+    assert A.shape[2] == 256, A.shape
+    kw = dict(
+        chunk=25, opt_tol=1e-7, pivot_tol=1e-7, degen_tol=1e-7,
+        stop_at_zero=stop_at_zero,
+    )
+    ref = batched_run_chunk(
+        batch, A, A, c, cand, pricing=PRICE_STEEPEST, **kw
+    )
+    Binv, xB, pi, basis, inb, gamma, status, iteration, degen = (
+        batched_pivot_chunk_blocked(
+            A, c, cand, batch.Binv, batch.xB, batch.pi, batch.basis,
+            batch.in_basis, batch.gamma, batch.status, batch.iteration,
+            batch.degen_count, interpret=True, col_block=128, **kw,
+        )
+    )
+    assert np.array_equal(np.asarray(ref.iteration), np.asarray(iteration))
+    assert np.array_equal(np.asarray(ref.status), np.asarray(status))
+    assert np.array_equal(np.asarray(ref.basis), np.asarray(basis))
+    assert np.array_equal(np.asarray(ref.in_basis), np.asarray(inb))
+    assert np.allclose(np.asarray(ref.xB), np.asarray(xB), atol=1e-4)
+    assert np.allclose(np.asarray(ref.pi), np.asarray(pi), atol=1e-3)
+    assert np.allclose(np.asarray(ref.Binv), np.asarray(Binv), atol=1e-3)
+    assert np.allclose(np.asarray(ref.gamma), np.asarray(gamma), atol=1e-2)
+
+
+def test_megakernel_variant_selection():
+    from relp_tpu.parallel.batch import _megakernel_variant
+
+    assert _megakernel_variant((64, 256, 512))[0] == "resident"
+    assert _megakernel_variant((64, 512, 1024))[0] == "resident"
+    variant, kw = _megakernel_variant((32, 1024, 2048))
+    assert variant == "blocked" and kw["col_block"] == 512
+    assert _megakernel_variant((8, 2048, 4096))[0] is None
+
+
 def test_solve_batch_with_megakernel(cpu_config):
     """End-to-end scenario batch through the megakernel chunk loop
     (interpret mode on CPU) reproduces the exact certified optima."""
