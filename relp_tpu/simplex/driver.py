@@ -38,6 +38,9 @@ from relp_tpu.simplex.lowering import (
     lower_removing_rows,
 )
 from relp_tpu.simplex.result import OptimizationResult, SolveStats, SolveStatus
+from relp_tpu.utils.logging import get_logger
+
+_log = get_logger("driver")
 from relp_tpu.simplex.state import (
     OPTIMAL,
     RUNNING,
@@ -450,10 +453,18 @@ def solve_relaxation(
             applied.append(
                 "df32" if retry_cfg.carry == "df32" else retry_cfg.dtype
             )
+            _log.info(
+                "escalation (numerical error): entering rung %s", applied[-1]
+            )
             result = _solve_relaxation_once(
                 provider, retry_cfg, warm_start_basis, mesh
             )
             result.stats.escalations = list(applied)
+            _log.info(
+                "rung %s: status=%s certified=%s iters=%d",
+                applied[-1], result.status.value, result.stats.certified,
+                result.stats.iterations,
+            )
             # Keep climbing while the verdict is uncertified: a rung can
             # return a *wrong but non-numerical* verdict (e.g. a df32
             # phase 1 stalling above phase1_tol reports INFEASIBLE on a
@@ -491,6 +502,10 @@ def solve_relaxation(
                 cfg0, dtype="float64", carry="native", **tol_reset
             )
         )
+        _log.info(
+            "escalation (uncertified %s at f32): climbing the ladder",
+            result.status.value,
+        )
         applied = []
         for retry_cfg in ladder:
             applied.append(
@@ -515,6 +530,11 @@ def solve_relaxation(
                 warm = result.basis
             result = _solve_relaxation_once(provider, retry_cfg, warm, mesh)
             result.stats.escalations = list(applied)
+            _log.info(
+                "rung %s: status=%s certified=%s iters=%d",
+                applied[-1], result.status.value, result.stats.certified,
+                result.stats.iterations,
+            )
             if result.stats.certified:
                 break
     # The provider the verdict refers to, for certificate export

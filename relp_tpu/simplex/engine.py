@@ -24,6 +24,9 @@ from relp_tpu.simplex import lu as lu_mod
 from relp_tpu.simplex.lowering import DeviceProblem
 from relp_tpu.simplex.result import SolveStats
 from relp_tpu.simplex.state import RUNNING, SimplexState
+from relp_tpu.utils.logging import get_logger
+
+_log = get_logger("engine")
 
 
 def _np_dtype(cfg: SolverConfig):
@@ -88,6 +91,26 @@ class DenseEngine:
             xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
             return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), res
 
+        # Second opinion before the expensive fallbacks: the f32 max|BX-I|
+        # measurement itself floors at ~sqrt(m)*eps*row-norms (1.2e-4 at
+        # m=5120 for a PERFECT inverse), so at large m the gate above can
+        # never pass.  Re-measure with f64-emulated matvecs (O(m^2), ~us).
+        health = self._carry_health(Binv, A, b, c, state.basis, xB, pi, cfg)
+        if health is not None and health <= self._health_tol:
+            _log.info(
+                "refactor: Newton refresh accepted by f64 carry health "
+                "%.3e (f32 residual floor was %.3e) at m=%d",
+                health, res, A.shape[0],
+            )
+            stats.refactorizations += 1
+            xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
+            return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), health
+
+        _log.info(
+            "refactor: Newton refresh rejected (res %.3e, health %s, "
+            "gate %.3e at m=%d), full refactorize",
+            res, health, self._accept_tol(A, cfg), A.shape[0],
+        )
         newton = 3 if cfg.dtype == "float64" else 1
         Binv, xB, pi, obj, residual = kernels.refactorize(
             A, b, c, state.basis, newton_steps=newton
@@ -95,9 +118,24 @@ class DenseEngine:
         stats.refactorizations += 1
         res = float(residual)
         if not np.isfinite(res) or res > self._accept_tol(A, cfg):
+            health = self._carry_health(
+                Binv, A, b, c, state.basis, xB, pi, cfg
+            )
+            if health is not None and health <= self._health_tol:
+                _log.info(
+                    "refactor: device refactorize accepted by f64 carry "
+                    "health %.3e (f32 residual %.3e) at m=%d",
+                    health, res, A.shape[0],
+                )
+                xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
+                return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), health
             # The f32 MXU inverse + Newton refinement broke down on an
             # ill-conditioned basis; fall back to host LAPACK in f64
             # (handles condition numbers up to ~1e15).
+            _log.info(
+                "refactor: device refactorize rejected (res %.3e, health "
+                "%s), host LAPACK fallback at m=%d", res, health, A.shape[0],
+            )
             basis = np.asarray(state.basis)
             B = np.asarray(A)[:, basis].astype(np.float64)
             try:
@@ -116,6 +154,27 @@ class DenseEngine:
             obj = jnp.asarray(float(cB @ xB_h), dtype=dt)
         xB = jnp.where(xB > -cfg.feas_tol, jnp.maximum(xB, 0.0), xB)
         return state._replace(Binv=Binv, xB=xB, pi=pi, obj=obj), res
+
+    # Relative f64-matvec carry-health acceptance: a healthy f32 carry
+    # measures ~1e-6..1e-5 (the f32 representation of xB/pi/X alone), a
+    # drifted or singular one 1e-3+.
+    _health_tol = 3e-5
+
+    @staticmethod
+    def _carry_health(Binv, A, b, c, basis, xB, pi, cfg: SolverConfig):
+        """f64-emulated matvec health of a refreshed carry, or None when
+        unavailable (x64 disabled, or f64 carry already exact-measured)."""
+        import jax
+
+        if cfg.dtype != "float32" or not jax.config.read("jax_enable_x64"):
+            return None
+        try:
+            return float(
+                kernels.carry_health(Binv, A, b, c, basis, xB, pi)
+            )
+        except Exception as exc:  # noqa: BLE001 — must not kill a solve
+            _log.warning("carry_health failed: %s", exc)
+            return None
 
     @staticmethod
     def _accept_tol(A, cfg: SolverConfig) -> float:

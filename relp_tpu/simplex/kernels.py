@@ -602,6 +602,49 @@ def newton_refresh(Binv, A, b, c, basis, *, steps: int = 2):
 
 
 @jax.jit
+def carry_health(Binv, A, b, c, basis, xB, pi):
+    """Accurate carry-health residual via f64-emulated device matvecs.
+
+    The f32 HIGHEST max|B X - I| measurement floors at ~sqrt(m)*eps*row
+    norms — 1.2e-4 at m=5120 on netlib 80BAU3B, above every honest gate
+    even for a PERFECT inverse, so the refresh gate can never pass and
+    every chunk exit pays the ~20 s host-LAPACK fallback (the r4 684 s
+    regression, netlib_tpu_r4_pass2).  Matvecs are only O(m^2): emulated
+    f64 costs microseconds where the (M,M,M) f64 matmul would cost
+    seconds.  Health = max of three RELATIVE residuals:
+
+      feas  = max|B xB - b|    / (1 + max|b|)     — (BX-I) probed along b
+      dual  = max|pi B - cB|   / (1 + max|cB|)    — row-side probe along cB
+      probe = max|B(X V) - V|  / (1 + max|X V|)   — 4 Rademacher probes
+                                                    against cancellation
+
+    Requires jax_enable_x64 (callers guard); values ~1e-6..1e-5 for a
+    healthy f32 carry, ~1e-3+ for genuine drift/singularity.
+    """
+    f64 = jnp.float64
+    M = Binv.shape[0]
+    B = jnp.take(A, basis, axis=1).astype(f64)
+    b64 = b.astype(f64)
+    xB64 = xB.astype(f64)
+    feas = jnp.max(jnp.abs(B @ xB64 - b64)) / (1.0 + jnp.max(jnp.abs(b64)))
+    cB64 = jnp.take(c, basis).astype(f64)
+    dual = jnp.max(jnp.abs(pi.astype(f64) @ B - cB64)) / (
+        1.0 + jnp.max(jnp.abs(cB64))
+    )
+    # Deterministic Rademacher probes (hash of the index grid).
+    k = 4
+    ij = (
+        jax.lax.broadcasted_iota(jnp.uint32, (M, k), 0)
+        * jnp.uint32(2654435761)
+        + jax.lax.broadcasted_iota(jnp.uint32, (M, k), 1) * jnp.uint32(40503)
+    )
+    V = jnp.where((ij >> 13) & 1, 1.0, -1.0).astype(f64)
+    XV = Binv.astype(f64) @ V
+    probe = jnp.max(jnp.abs(B @ XV - V)) / (1.0 + jnp.max(jnp.abs(XV)))
+    return jnp.maximum(feas, jnp.maximum(dual, probe))
+
+
+@jax.jit
 def recompute_gamma(Binv, A_scan, in_basis):
     """Exact steepest-edge weights gamma_j = 1 + ||Binv a_j||^2
     (reference: initial_gamma, pivot_rule.rs:299-305).

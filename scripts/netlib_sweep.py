@@ -57,6 +57,11 @@ def main():
     parser.add_argument("--dtype", default="float64")
     parser.add_argument("--scan-dtype", default="float32")
     parser.add_argument("--refactor", type=int, default=100)
+    parser.add_argument("--cleanup-time", type=float, default=None,
+                        help="exact_cleanup_time_s override (big instances "
+                        "need > the 600s default for certification)")
+    parser.add_argument("--cleanup-budget", type=int, default=None,
+                        help="exact_cleanup_budget (pivots) override")
     parser.add_argument("--phase1", default="two_phase",
                         help="two_phase | bigm (host backend composite walk)")
     parser.add_argument(
@@ -93,6 +98,10 @@ def main():
                 chunk_size=args.refactor,
                 phase1=args.phase1,
             )
+            if args.cleanup_time is not None:
+                overrides["exact_cleanup_time_s"] = args.cleanup_time
+            if args.cleanup_budget is not None:
+                overrides["exact_cleanup_budget"] = args.cleanup_budget
             result, solution, parse_s, solve_s = solve_one(name, args.budget, overrides)
             entry["status"] = result.status.value
             entry["parse_s"] = round(parse_s, 2)
