@@ -44,8 +44,14 @@ def equilibrate(
             # rows: geometric mean of nonzeros -> scale to ~1
             logs = np.where(nz, np.log2(work, where=nz), 0.0)
             counts = nz.sum(axis=1)
+            # out= zeros: np.divide(where=) leaves unselected lanes
+            # UNINITIALIZED, and exp2 on that garbage overflows (the result
+            # was masked afterwards, but the warning was real).
             mean = np.divide(
-                logs.sum(axis=1), np.maximum(counts, 1), where=counts > 0
+                logs.sum(axis=1),
+                np.maximum(counts, 1),
+                out=np.zeros(m, dtype=A.dtype),
+                where=counts > 0,
             )
             r = _pow2_round(-mean)
             r = np.where(counts > 0, r, 1.0)
@@ -55,7 +61,10 @@ def equilibrate(
             logs = np.where(nz, np.log2(work, where=nz), 0.0)
             counts = nz.sum(axis=0)
             mean = np.divide(
-                logs.sum(axis=0), np.maximum(counts, 1), where=counts > 0
+                logs.sum(axis=0),
+                np.maximum(counts, 1),
+                out=np.zeros(n, dtype=A.dtype),
+                where=counts > 0,
             )
             c = _pow2_round(-mean)
             c = np.where(counts > 0, c, 1.0)
