@@ -16,6 +16,7 @@ The analog of the reference's solve facade + phase drivers
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import List, Optional, Tuple
 
@@ -152,10 +153,12 @@ def _run_phase(
         eps = 1e-7 * (1.0 + ((idx * 37) % 19) / 19.0)
         return state._replace(xB=state.xB + jnp.asarray(eps, state.xB.dtype))
 
+    nan_retries = 0
     for _ in range(max_chunks):
         mode = PRICE_BLAND if bland_mode else pricing
         scan = A_full if polishing else A_scan
         it_before = int(state.iteration)
+        state_entry = state
         state = engine.run_chunk(
             state, scan, A_full, c, candidate_mask, mode, cfg,
             stop_at_zero=stop_at_zero,
@@ -163,6 +166,43 @@ def _run_phase(
             hi_scan=polishing and noisy,
         )
         stats.chunks += 1
+        if not np.isfinite(float(state.obj)):
+            # One catastrophic pivot (w_r barely above pivot_tol with huge
+            # basic values) can blow the product-form carry to inf/nan
+            # mid-chunk (netlib 80BAU3B at m=5120/f32).  The chunk-entry
+            # state is still good: roll back, clean the carry, and retry
+            # the chunk once with a conservative pivot tolerance so the
+            # ratio test skips near-singular leaving rows, instead of
+            # aborting the whole rung to the escalation ladder.
+            nan_retries += 1
+            _log.info(
+                "chunk exploded to nan (retry %d): rolling back %d pivots, "
+                "retrying with pivot_tol=1e-5",
+                nan_retries, int(state.iteration) - it_before,
+            )
+            if nan_retries > 3:
+                state = state_entry._replace(
+                    status=jnp.asarray(SINGULAR, jnp.int32)
+                )
+                break
+            state, residual = engine.refactor(
+                state_entry, A_full, b, c, cfg, stats
+            )
+            if not np.isfinite(residual) or residual > 1e-4:
+                state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
+                break
+            safe_cfg = dataclasses.replace(
+                cfg, pivot_tol=max(cfg.pivot_tol, 1e-5)
+            )
+            state = engine.run_chunk(
+                state, scan, A_full, c, candidate_mask, mode, safe_cfg,
+                stop_at_zero=stop_at_zero,
+                hi_scan=polishing and noisy,
+            )
+            stats.chunks += 1
+            if not np.isfinite(float(state.obj)):
+                state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
+                break
         status = int(state.status)
         if stop_at_zero and float(state.obj) <= 1e-9:
             # Phase 1 reached zero artificial cost: feasible.
