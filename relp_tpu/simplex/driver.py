@@ -291,8 +291,42 @@ def _run_phase(
 
         state, residual = engine.refactor(state, A_full, b, c, cfg, stats)
         if not np.isfinite(residual) or residual > 1e-4:
-            state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
-            break
+            # The chunk walked into a (near-)singular basis: a dependent
+            # column can enter when the floored f32 carry misjudges its
+            # w_r as > pivot_tol (80BAU3B at m=5120).  The chunk-entry
+            # basis was still factorizable — roll back and retry the chunk
+            # with a conservative pivot tolerance so near-zero leaving
+            # pivots are skipped, before giving up the rung.
+            nan_retries += 1
+            _log.info(
+                "refactor breakdown after chunk (res %s, retry %d): "
+                "rolling back %d pivots, retrying with pivot_tol=1e-5",
+                residual, nan_retries, int(state.iteration) - it_before,
+            )
+            recovered = False
+            if nan_retries <= 3:
+                state_rb, res_rb = engine.refactor(
+                    state_entry, A_full, b, c, cfg, stats
+                )
+                if np.isfinite(res_rb) and res_rb <= 1e-4:
+                    safe_cfg = dataclasses.replace(
+                        cfg, pivot_tol=max(cfg.pivot_tol, 1e-5)
+                    )
+                    state_rb = engine.run_chunk(
+                        state_rb, scan, A_full, c, candidate_mask, mode,
+                        safe_cfg, stop_at_zero=stop_at_zero,
+                        hi_scan=polishing and noisy,
+                    )
+                    stats.chunks += 1
+                    state_rb, res_rb = engine.refactor(
+                        state_rb, A_full, b, c, cfg, stats
+                    )
+                    if np.isfinite(res_rb) and res_rb <= 1e-4:
+                        state = state_rb
+                        recovered = True
+            if not recovered:
+                state = state._replace(status=jnp.asarray(SINGULAR, jnp.int32))
+                break
         if cfg.debug_validate and getattr(state, "Binv", None) is not None:
             from relp_tpu.utils.debug import validate_bfs_state
 

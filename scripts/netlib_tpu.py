@@ -69,7 +69,7 @@ def _route_cfg_keys(route: dict) -> dict:
         for k, v in route.items()
         if k in ("carry", "dtype", "chunk_size", "refactor_period",
                  "scan_dtype", "max_iterations", "pricing",
-                 "gamma_refresh_period")
+                 "gamma_refresh_period", "prescale")
     }
 
 
