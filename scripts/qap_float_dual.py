@@ -50,6 +50,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # x64 enables the f64-emulated carry-health gate (engine._carry_health);
+    # without it every chunk exit at m>=3200 pays a ~4 s host LAPACK
+    # inversion because the f32 residual floor sits just above the gate.
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from netlib_expected import NETLIB_EXTRA
@@ -125,6 +130,8 @@ def main():
     chunks = 0
     flip_rounds = 0
     out_of_budget = False
+    best_obj = -np.inf
+    stall = time.time()
     while True:
         # Inner loop: dual pivots to a terminal state.
         while True:
@@ -137,10 +144,28 @@ def main():
             if not np.isfinite(residual) or residual > 1e-4:
                 print(f"float dual: refactor breakdown (res {residual})")
                 break
+            # f32 noise eventually caps the dual objective climb: once the
+            # walk oscillates without improvement for minutes (NOT a mere
+            # degenerate stretch — those clear in seconds at chunk speed),
+            # hand the basis to the exact tail instead of grinding the
+            # noise floor.
+            obj_now = float(state.obj)
+            if obj_now > best_obj + 1e-3 * (1.0 + abs(best_obj)):
+                best_obj = obj_now
+                stall = time.time()
+            elif time.time() - stall > 240.0:
+                print(
+                    f"float dual: no progress for {time.time()-stall:.0f}s "
+                    f"at obj {obj_now:.4f} — handing basis to exact tail"
+                )
+                out_of_budget = True
+                break
             if chunks % 20 == 0:
+                n_neg = int((np.asarray(state.xB) < -1e-9).sum())
                 print(
                     f"  float dual: {int(state.iteration)} pivots, "
-                    f"obj {float(state.obj):.4f}, {time.time()-t1:.0f}s",
+                    f"obj {float(state.obj):.4f}, {n_neg} negatives, "
+                    f"{time.time()-t1:.0f}s",
                     flush=True,
                 )
             if int(state.iteration) >= cfg.max_iterations:
@@ -187,6 +212,10 @@ def main():
             f"artificials flipped, obj {float(state.obj):.4f}",
             flush=True,
         )
+        # A flip restarts the climb from a lower objective; reset the
+        # stall tracker so the post-flip ascent is not mistaken for noise.
+        best_obj = -np.inf
+        stall = time.time()
     n_neg = int((np.asarray(state.xB) < -1e-9).sum())
     print(
         f"float dual: status={int(state.status)} pivots="
